@@ -1,0 +1,356 @@
+"""DLA-34 backbone with DCNv2 iterative-deep-aggregation upsampling.
+
+Behavioral spec: reference lib/models/backbones/dla.py (upstream
+``pose_dla_dcn.py``; SURVEY.md §2 #8): DLA-34 trunk (BasicBlock / Root /
+Tree, levels [1,1,1,2,2,1], channels [16,32,64,128,256,512]) producing
+feature maps at strides 1..32; DLAUp/IDAUp aggregation where every
+lateral/node conv is a DCNv2 (3x3, deformable_groups=1) + BN + ReLU and
+2x/4x upsampling uses a fixed bilinear depthwise kernel (the reference's
+frozen ``fill_up_weights`` grouped transpose conv); heads on the stride-4
+output.
+
+TPU-native notes:
+- the DCN gather+GEMM runs through ops/dcn.py (pure XLA, MXU contraction);
+- the bilinear upsample is a constant depthwise transpose conv expressed as
+  ``lax.conv_general_dilated`` with ``lhs_dilation`` — no learnable params,
+  no gather;
+- offset/mask branch is zero-initialized so training starts from plain-conv
+  behavior (reference DCN.reset_parameters).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from centerpose_tpu.models.common import ConvBN, HeadStack, bilinear_kernel
+from centerpose_tpu.ops.dcn import dcn_v2
+
+
+class DCN(nn.Module):
+    """Modulated deformable conv module: offset/mask conv branch + dcn_v2.
+
+    (reference: DCNv2/dcn_v2.py class DCN — conv_offset_mask zero-init,
+    sigmoid mask.)
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    deformable_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k2 = self.kernel * self.kernel
+        g = self.deformable_groups
+        pad = self.dilation * (self.kernel - 1) // 2
+        om = nn.Conv(
+            3 * k2 * g,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad)] * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset_mask",
+        )(x)
+        offset = om[..., : 2 * k2 * g]
+        mask = jax.nn.sigmoid(om[..., 2 * k2 * g :])
+        weight = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return dcn_v2(
+            x.astype(self.dtype),
+            offset,
+            mask,
+            weight.astype(self.dtype),
+            bias,
+            stride=self.stride,
+            padding=pad,
+            dilation=self.dilation,
+            deformable_groups=g,
+        )
+
+
+class DeformConv(nn.Module):
+    """DCN 3x3 -> BN -> ReLU (reference: pose_dla_dcn.DeformConv)."""
+
+    features: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DCN(self.features, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+def bilinear_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Fixed depthwise bilinear 2x/4x upsample (frozen fill_up_weights
+    transpose conv: kernel 2f, stride f, pad f//2, groups=C)."""
+    c = x.shape[-1]
+    k = 2 * factor
+    kern = jnp.asarray(bilinear_kernel(k), x.dtype).reshape(k, k, 1, 1)
+    kern = jnp.broadcast_to(kern, (k, k, 1, c))
+    # transpose conv (stride f, pad f//2) == dilated conv with lhs_dilation=f
+    # and padding (k - 1 - f//2) per side.
+    pad = k - 1 - factor // 2
+    return lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        lhs_dilation=(factor, factor),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+class DlaBasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        y = ConvBN(
+            self.features, 3, self.stride, dilation=self.dilation,
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(x, train)
+        y = ConvBN(
+            self.features, 3, 1, dilation=self.dilation, relu=False,
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(y, train)
+        return nn.relu(y + residual)
+
+
+class Root(nn.Module):
+    """Aggregation node: 1x1 conv over concat(children) (+ residual)."""
+
+    features: int
+    residual: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, children: List[jnp.ndarray], train: bool = False):
+        x = jnp.concatenate(children, axis=-1)
+        x = ConvBN(
+            self.features, 1, 1, relu=False,
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(x, train)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Recursive DLA tree (reference: dla.py Tree)."""
+
+    levels: int
+    features: int
+    stride: int = 1
+    level_root: bool = False
+    root_residual: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        children = [] if children is None else list(children)
+        bottom = (
+            nn.max_pool(
+                x, (self.stride, self.stride), strides=(self.stride, self.stride)
+            )
+            if self.stride > 1
+            else x
+        )
+        if x.shape[-1] != self.features:
+            proj = ConvBN(
+                self.features, 1, 1, relu=False,
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="project",
+            )(bottom, train)
+        else:
+            proj = bottom
+        if residual is None:
+            residual = proj
+        if self.level_root:
+            children.append(bottom)
+
+        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        if self.levels == 1:
+            x1 = DlaBasicBlock(self.features, self.stride, name="tree1", **common)(
+                x, residual, train
+            )
+            x2 = DlaBasicBlock(self.features, 1, name="tree2", **common)(x1, None, train)
+            out = Root(
+                self.features, self.root_residual, name="root", **common
+            )([x2, x1] + children, train)
+        else:
+            x1 = Tree(
+                self.levels - 1, self.features, self.stride,
+                root_residual=self.root_residual, name="tree1", **common,
+            )(x, residual, None, train)
+            children.append(x1)
+            out = Tree(
+                self.levels - 1, self.features, 1,
+                root_residual=self.root_residual, name="tree2", **common,
+            )(x1, None, children, train)
+        return out
+
+
+class DLATrunk(nn.Module):
+    """DLA-34 trunk -> 6 feature maps at strides [1, 2, 4, 8, 16, 32]."""
+
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        ch = self.channels
+        y = []
+        # base: 7x7 s1
+        x = ConvBN(ch[0], 7, 1, name="base_layer", **common)(x, train)
+        # level0: one 3x3 s1; level1: one 3x3 s2
+        x = ConvBN(ch[0], 3, 1, name="level0", **common)(x, train)
+        y.append(x)
+        x = ConvBN(ch[1], 3, 2, name="level1", **common)(x, train)
+        y.append(x)
+        x = Tree(self.levels[2], ch[2], 2, level_root=False, name="level2", **common)(
+            x, train=train
+        )
+        y.append(x)
+        x = Tree(self.levels[3], ch[3], 2, level_root=True, name="level3", **common)(
+            x, train=train
+        )
+        y.append(x)
+        x = Tree(self.levels[4], ch[4], 2, level_root=True, name="level4", **common)(
+            x, train=train
+        )
+        y.append(x)
+        x = Tree(self.levels[5], ch[5], 2, level_root=True, name="level5", **common)(
+            x, train=train
+        )
+        y.append(x)
+        return y
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation step over layers[startp:endp].
+
+    For each deeper layer: DCN-project to ``features`` channels, bilinear
+    upsample by its factor, then DCN-node fuse with the shallower neighbor.
+    (reference: pose_dla_dcn.IDAUp.)
+    """
+
+    features: int
+    up_factors: Sequence[int]
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
+                 train: bool = False) -> List[jnp.ndarray]:
+        layers = list(layers)
+        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        for i in range(startp + 1, endp):
+            f = int(self.up_factors[i - startp])
+            p = DeformConv(self.features, name=f"proj_{i - startp}", **common)(
+                layers[i], train
+            )
+            if f > 1:
+                p = bilinear_upsample(p, f)
+            layers[i] = DeformConv(self.features, name=f"node_{i - startp}", **common)(
+                p + layers[i - 1], train
+            )
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Progressive aggregation of trunk levels startp..5 down to stride-4.
+
+    (reference: pose_dla_dcn.DLAUp — repeatedly applies IDAUp over the tail
+    of the layer list, mutating channels toward the shallow end.)
+    """
+
+    startp: int
+    channels: Sequence[int]  # channels[startp:] of the trunk
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False):
+        layers = list(layers)
+        channels = list(self.channels)
+        scales = [2 ** i for i in range(len(channels))]
+        out = [layers[-1]]
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            up_f = [s // scales[j] for s in scales[j:]]
+            layers_tail = IDAUp(
+                channels[j], up_f, name=f"ida_{i}",
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            )(layers, len(layers) + j, len(layers), train)
+            layers = layers_tail
+            out.insert(0, layers[-1])
+            for t in range(j + 1, 0):
+                scales[t] = scales[j]
+                channels[t] = channels[j]
+        return out
+
+
+class DLASeg(nn.Module):
+    """Full DLA-34 pose net: trunk -> DLAUp -> final IDAUp -> heads.
+
+    (reference: pose_dla_dcn.DLASeg with down_ratio=4, last_level=5.)
+    """
+
+    heads: Dict[str, int] = None
+    head_conv: int = 256
+    down_ratio: int = 4
+    last_level: int = 5
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        first_level = int(np.log2(self.down_ratio))  # 2
+        trunk_channels = (16, 32, 64, 128, 256, 512)
+        feats = DLATrunk(
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="base"
+        )(x, train)
+        outs = DLAUp(
+            first_level, trunk_channels[first_level:],
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="dla_up",
+        )(feats, train)
+
+        y = list(outs[: self.last_level - first_level])
+        y = IDAUp(
+            trunk_channels[first_level],
+            [2 ** i for i in range(self.last_level - first_level)],
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="ida_up",
+        )(y, 0, len(y), train)
+
+        return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(y[-1])

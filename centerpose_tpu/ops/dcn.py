@@ -1,0 +1,135 @@
+"""Modulated deformable convolution v2 (DCNv2) — TPU-native.
+
+Replaces the reference's ~2.2k-LoC CUDA extension
+(lib/models/backbones/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu; SURVEY.md §2 #16)
+with a pure-XLA formulation designed for the MXU:
+
+  1. *Gather stage*: for each of the K = kh*kw kernel taps, bilinearly sample
+     the input at (p0 + p_k + Δp_k) — four integer gathers with bilinear
+     corner weights, zero outside the image (matching the CUDA kernel's
+     zero-padding bilinear).  All taps are gathered at once into an
+     im2col-style [B, Ho, Wo, K, Cin] buffer (the CUDA kernel builds exactly
+     this column buffer, one thread per sample).
+  2. *Contraction stage*: one big GEMM [B*Ho*Wo, K*Cin] x [K*Cin, Cout] that
+     XLA tiles straight onto the MXU — this is where the FLOPs are.
+  3. Modulation masks scale the gathered samples before the GEMM.
+
+Autodiff comes for free (gather/scatter transpose in the VJP), so unlike the
+CUDA extension there is no hand-written backward.  A fused Pallas variant can
+slot in behind the same API later; this XLA path is the correctness anchor
+(SURVEY.md §7: "fallback pure-XLA version keeps DLA-34 correct").
+
+Layouts: NHWC activations, weight [kh, kw, Cin, Cout], offset
+[B, Ho, Wo, G*K*2] with (dy, dx) interleaved per tap (CUDA channel order),
+mask [B, Ho, Wo, G*K] (already sigmoid-ed by the caller module).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dcn_v2(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+) -> jnp.ndarray:
+    """Modulated deformable conv v2.
+
+    x: [B, H, W, Cin]; offset: [B, Ho, Wo, G*K*2] (dy, dx per tap);
+    mask: [B, Ho, Wo, G*K]; weight: [kh, kw, Cin, Cout]; -> [B, Ho, Wo, Cout].
+    """
+    b, h, w, cin = x.shape
+    kh, kw, wcin, cout = weight.shape
+    assert wcin == cin, (wcin, cin)
+    g = deformable_groups
+    k = kh * kw
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    assert offset.shape == (b, ho, wo, g * k * 2), (offset.shape, (b, ho, wo, g * k * 2))
+    assert mask.shape == (b, ho, wo, g * k), (mask.shape,)
+    assert cin % g == 0
+    cg = cin // g
+
+    dtype = x.dtype
+    f32 = jnp.float32
+
+    # Tap base positions relative to the output cell (dilated, pad-shifted).
+    ky = (np.repeat(np.arange(kh), kw) * dilation - padding).astype(np.float32)
+    kx = (np.tile(np.arange(kw), kh) * dilation - padding).astype(np.float32)
+
+    # Output-cell base coordinates.
+    oy = (jnp.arange(ho, dtype=f32) * stride)[:, None]  # [Ho, 1]
+    ox = (jnp.arange(wo, dtype=f32) * stride)[None, :]  # [1, Wo]
+
+    off = offset.reshape(b, ho, wo, g, k, 2).astype(f32)
+    m = mask.reshape(b, ho, wo, g, k).astype(f32)
+
+    # Absolute sample coordinates [B, Ho, Wo, G, K].
+    sy = oy[None, :, :, None, None] + jnp.asarray(ky)[None, None, None, None, :] + off[..., 0]
+    sx = ox[None, :, :, None, None] + jnp.asarray(kx)[None, None, None, None, :] + off[..., 1]
+
+    # Bilinear corners.
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0  # weight toward y0+1
+    wx1 = sx - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+
+    x_flat = x.reshape(b, h * w, g, cg)  # [B, HW, G, Cg]
+
+    def corner(yc, xc, wgt):
+        """Gather one bilinear corner for all taps: returns [B,Ho,Wo,G,K,Cg]."""
+        # zero-pad semantics: corners outside [0,H-1]x[0,W-1] contribute 0
+        valid = (
+            (yc >= 0) & (yc <= h - 1) & (xc >= 0) & (xc <= w - 1)
+        ).astype(f32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        flat = yi * w + xi  # [B, Ho, Wo, G, K]
+        idx = flat.transpose(0, 3, 1, 2, 4).reshape(b, g, ho * wo * k)
+
+        def gather_one(src_g, idx_g):
+            # src_g [B, HW, Cg]; idx_g [B, N] -> [B, N, Cg]
+            return jnp.take_along_axis(src_g, idx_g[:, :, None], axis=1)
+
+        gathered = jax.vmap(gather_one, in_axes=(2, 1), out_axes=1)(
+            x_flat, idx
+        )  # [B, G, Ho*Wo*K, Cg]
+        gathered = (
+            gathered.reshape(b, g, ho, wo, k, cg).transpose(0, 2, 3, 1, 4, 5)
+        )  # [B, Ho, Wo, G, K, Cg]
+        return gathered.astype(f32) * (wgt * valid)[..., None]
+
+    samples = (
+        corner(y0, x0, wy0 * wx0)
+        + corner(y0, x0 + 1, wy0 * wx1)
+        + corner(y0 + 1, x0, wy1 * wx0)
+        + corner(y0 + 1, x0 + 1, wy1 * wx1)
+    )  # [B, Ho, Wo, G, K, Cg]
+
+    samples = samples * m[..., None]
+
+    # im2col GEMM: [B*Ho*Wo, K*Cin] @ [K*Cin, Cout] -> MXU.
+    # weight [kh, kw, Cin, Cout] -> [K, G, Cg, Cout] -> [G*K*Cg, Cout] with
+    # sample layout [G, K, Cg] flattened identically.
+    w_col = weight.reshape(k, g, cg, cout).transpose(1, 0, 2, 3).reshape(g * k * cg, cout)
+    cols = samples.reshape(b * ho * wo, g * k * cg)
+    out = jnp.dot(
+        cols.astype(dtype), w_col.astype(dtype), preferred_element_type=f32
+    )
+    out = out.reshape(b, ho, wo, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(dtype)

@@ -1,0 +1,160 @@
+"""DCNv2 correctness tests (SURVEY.md §4: zero-offset ≡ conv, shifted conv,
+VJP finite-difference)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from centerpose_tpu.ops.dcn import dcn_v2
+
+
+def plain_conv(x, w, stride=1, padding=1, dilation=1):
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32) * scale
+    )
+
+
+def test_zero_offset_equals_conv():
+    b, h, w, cin, cout = 2, 8, 8, 4, 6
+    x = rand((b, h, w, cin), 0)
+    wgt = rand((3, 3, cin, cout), 1, 0.3)
+    offset = jnp.zeros((b, h, w, 18))
+    mask = jnp.ones((b, h, w, 9))
+    out = dcn_v2(x, offset, mask, wgt)
+    ref = plain_conv(x, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_zero_offset_stride2():
+    b, h, w, cin, cout = 1, 8, 8, 3, 5
+    x = rand((b, h, w, cin), 2)
+    wgt = rand((3, 3, cin, cout), 3, 0.3)
+    offset = jnp.zeros((b, 4, 4, 18))
+    mask = jnp.ones((b, 4, 4, 9))
+    out = dcn_v2(x, offset, mask, wgt, stride=2)
+    ref = plain_conv(x, wgt, stride=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_integer_offset_equals_shifted_conv():
+    """All taps offset by a constant integer (dy=0, dx=1) ≡ conv of the
+    x-shifted input (interior cells)."""
+    b, h, w, cin, cout = 1, 10, 10, 3, 4
+    x = rand((b, h, w, cin), 4)
+    wgt = rand((3, 3, cin, cout), 5, 0.3)
+    offset = np.zeros((b, h, w, 18), np.float32)
+    offset[..., 1::2] = 1.0  # dx = +1 for every tap
+    mask = jnp.ones((b, h, w, 9))
+    out = dcn_v2(x, jnp.asarray(offset), mask, wgt)
+    # shift input left by one (sample at x+1) then plain conv
+    x_shift = jnp.concatenate([x[:, :, 1:, :], jnp.zeros((b, h, 1, cin))], axis=2)
+    ref = plain_conv(x_shift, wgt)
+    # compare away from the right border (zero-padding details differ there)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 2:-2, 2:-2], np.asarray(ref)[:, 2:-2, 2:-2],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fractional_offset_bilinear():
+    """Half-pixel offset on a linear ramp image: samples average neighbors."""
+    h = w = 6
+    ramp = np.arange(w, dtype=np.float32)[None, None, :, None]
+    x = jnp.asarray(np.broadcast_to(ramp, (1, h, w, 1)).copy())
+    # 1x1 kernel, identity weight
+    wgt = jnp.ones((1, 1, 1, 1))
+    offset = np.zeros((1, h, w, 2), np.float32)
+    offset[..., 1] = 0.5  # dx = 0.5
+    mask = jnp.ones((1, h, w, 1))
+    out = dcn_v2(x, jnp.asarray(offset), mask, wgt, padding=0)
+    # interior: value = (v[x] + v[x+1]) / 2 = x + 0.5
+    got = np.asarray(out)[0, 2, 1:4, 0]
+    np.testing.assert_allclose(got, [1.5, 2.5, 3.5], rtol=1e-5)
+
+
+def test_mask_modulation_scales_output():
+    b, h, w, cin, cout = 1, 6, 6, 2, 3
+    x = rand((b, h, w, cin), 6)
+    wgt = rand((3, 3, cin, cout), 7, 0.3)
+    offset = jnp.zeros((b, h, w, 18))
+    out_half = dcn_v2(x, offset, jnp.full((b, h, w, 9), 0.5), wgt)
+    out_full = dcn_v2(x, offset, jnp.ones((b, h, w, 9)), wgt)
+    np.testing.assert_allclose(
+        np.asarray(out_half), 0.5 * np.asarray(out_full), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_deformable_groups_independent_offsets():
+    b, h, w, cin, cout, g = 1, 6, 6, 4, 4, 2
+    x = rand((b, h, w, cin), 8)
+    wgt = rand((3, 3, cin, cout), 9, 0.3)
+    # group 0: zero offset; group 1: dx=+1 integer offset
+    offset = np.zeros((b, h, w, g * 9 * 2), np.float32)
+    offset[..., 18 + 1 :: 2][..., :9 - 0] = 0  # layout check below
+    off = offset.reshape(b, h, w, g, 9, 2)
+    off[..., 1, :, 1] = 1.0
+    mask = jnp.ones((b, h, w, g * 9))
+    out = dcn_v2(
+        x, jnp.asarray(off.reshape(b, h, w, -1)), mask, wgt, deformable_groups=2
+    )
+    # Reference: conv with group-0 channels normal + group-1 channels shifted
+    x_shift = jnp.concatenate([x[:, :, 1:, :], jnp.zeros((b, h, 1, cin))], axis=2)
+    x_mix = jnp.concatenate([x[..., :2], x_shift[..., 2:]], axis=-1)
+    ref = plain_conv(x_mix, wgt)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 2:-2, 2:-2], np.asarray(ref)[:, 2:-2, 2:-2],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_dcn_gradients_finite_difference():
+    b, h, w, cin, cout = 1, 5, 5, 2, 2
+    x = rand((b, h, w, cin), 10)
+    wgt = rand((3, 3, cin, cout), 11, 0.3)
+    offset = rand((b, h, w, 18), 12, 0.3)
+    mask = jnp.asarray(
+        1 / (1 + np.exp(-np.random.default_rng(13).normal(size=(b, h, w, 9)))),
+        jnp.float32,
+    )
+
+    def f_off(o):
+        return jnp.sum(jnp.sin(dcn_v2(x, o, mask, wgt)))
+
+    def f_x(xx):
+        return jnp.sum(jnp.sin(dcn_v2(xx, offset, mask, wgt)))
+
+    def f_w(ww):
+        return jnp.sum(jnp.sin(dcn_v2(x, offset, mask, ww)))
+
+    for f, arg in ((f_off, offset), (f_x, x), (f_w, wgt)):
+        g = jax.grad(f)(arg)
+        rng = np.random.default_rng(14)
+        v = jnp.asarray(rng.normal(size=arg.shape).astype(np.float32))
+        eps = 1e-3
+        fd = (float(f(arg + eps * v)) - float(f(arg - eps * v))) / (2 * eps)
+        an = float(jnp.vdot(g, v))
+        np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-3)
+
+
+def test_dcn_jit_compiles():
+    b, h, w, cin, cout = 2, 8, 8, 4, 4
+    x = rand((b, h, w, cin), 15)
+    wgt = rand((3, 3, cin, cout), 16, 0.3)
+    offset = rand((b, h, w, 18), 17, 0.1)
+    mask = jnp.ones((b, h, w, 9)) * 0.7
+    out = jax.jit(dcn_v2, static_argnames=("stride", "padding", "dilation", "deformable_groups"))(
+        x, offset, mask, wgt
+    )
+    assert out.shape == (b, h, w, cout)
+    assert np.isfinite(np.asarray(out)).all()

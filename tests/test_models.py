@@ -56,6 +56,34 @@ def test_res50_forward():
     check_arch("res_50")
 
 
+def test_hrnet_w32_forward():
+    check_arch("hrnet_w32")
+
+
+def test_mobilenetv2_forward():
+    check_arch("mobilenetv2")
+
+
+def test_mobilenetv3_forward():
+    check_arch("mobilenetv3")
+
+
+def test_shufflenetv2_forward():
+    check_arch("shufflenetv2")
+
+
+def test_hardnet_forward():
+    check_arch("hardnet")
+
+
+def test_darknet_forward():
+    check_arch("darknet")
+
+
+def test_efficientnet_forward():
+    check_arch("efficientnet")
+
+
 def test_res18_train_mode_updates_batch_stats():
     cfg = tiny_cfg("res_18")
     model = create_model(cfg)
