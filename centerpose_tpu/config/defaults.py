@@ -36,6 +36,10 @@ class ModelConfig:
     # Parameter / compute dtypes.  Params stay float32; conv compute can run
     # bfloat16 on the MXU (losses always reduce in float32).
     compute_dtype: str = "float32"
+    # DCNv2 implementation: 'xla' (bilinear gather + GEMM), 'pallas' (fused
+    # kernel), or 'conv' (ignore offsets/mask -> plain conv; ablation /
+    # perf-baseline mode, not numerically a DCN).
+    dcn_impl: str = "xla"
 
     def heads(self) -> Dict[str, int]:
         """Head name -> channel count (reference: train.py heads dict)."""

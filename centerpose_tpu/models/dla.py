@@ -36,7 +36,9 @@ class DCN(nn.Module):
     """Modulated deformable conv module: offset/mask conv branch + dcn_v2.
 
     (reference: DCNv2/dcn_v2.py class DCN — conv_offset_mask zero-init,
-    sigmoid mask.)
+    sigmoid mask.)  ``impl`` selects the sampling backend: 'xla' gather+GEMM,
+    'pallas' fused kernel, or 'conv' (plain conv ablation that ignores the
+    learned offsets/mask — NOT a DCN; perf baseline only).
     """
 
     features: int
@@ -44,6 +46,7 @@ class DCN(nn.Module):
     stride: int = 1
     dilation: int = 1
     deformable_groups: int = 1
+    impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,6 +54,23 @@ class DCN(nn.Module):
         k2 = self.kernel * self.kernel
         g = self.deformable_groups
         pad = self.dilation * (self.kernel - 1) // 2
+        weight = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.impl == "conv":
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                weight.astype(self.dtype),
+                (self.stride, self.stride),
+                [(pad, pad)] * 2,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias
         om = nn.Conv(
             3 * k2 * g,
             (self.kernel, self.kernel),
@@ -63,13 +83,14 @@ class DCN(nn.Module):
         )(x)
         offset = om[..., : 2 * k2 * g]
         mask = jax.nn.sigmoid(om[..., 2 * k2 * g :])
-        weight = self.param(
-            "kernel",
-            nn.initializers.he_normal(),
-            (self.kernel, self.kernel, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.impl == "pallas":
+            from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas
+
+            return dcn_v2_pallas(
+                x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
+                bias, stride=self.stride, padding=pad,
+                dilation=self.dilation, deformable_groups=g,
+            )
         return dcn_v2(
             x.astype(self.dtype),
             offset,
@@ -88,11 +109,12 @@ class DeformConv(nn.Module):
 
     features: int
     bn_axis_name: Optional[str] = None
+    dcn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCN(self.features, dtype=self.dtype)(x)
+        x = DCN(self.features, impl=self.dcn_impl, dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name, dtype=self.dtype,
@@ -100,25 +122,50 @@ class DeformConv(nn.Module):
         return nn.relu(x)
 
 
+def _bilinear_weights_1d(factor: int) -> np.ndarray:
+    """1-D bilinear kernel of size 2*factor (separable row of fill_up_weights)."""
+    k = 2 * factor
+    f = int(np.ceil(k / 2.0))
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    return np.array([1 - abs(i / f - c) for i in range(k)], dtype=np.float32)
+
+
+def _upsample_1d(x: jnp.ndarray, axis: int, factor: int) -> jnp.ndarray:
+    """Depthwise transpose-conv upsample along one axis (stride=f, k=2f,
+    pad=f//2) expressed as zero-stuffing + 2f shifted scaled adds.
+
+    Grouped/dilated convs compile pathologically on the TPU backend (minutes
+    per op); slices and adds fuse instantly and the math is identical."""
+    w = _bilinear_weights_1d(factor)
+    k = 2 * factor
+    n = x.shape[axis]
+    # zero-stuff: values at multiples of f, length (n-1)*f + 1
+    expand = [x] + [jnp.zeros_like(x)] * (factor - 1)
+    stuffed = jnp.stack(expand, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * factor
+    stuffed = stuffed.reshape(new_shape)
+    stuffed = lax.slice_in_dim(stuffed, 0, (n - 1) * factor + 1, axis=axis)
+    # pad so that 'valid' correlation yields exactly n*f outputs
+    pad = k - 1 - factor // 2
+    cfg = [(0, 0, 0)] * x.ndim
+    cfg[axis] = (pad, pad, 0)
+    padded = lax.pad(stuffed, jnp.zeros((), x.dtype), cfg)
+    out_len = n * factor
+    acc = None
+    for t in range(k):
+        sl = lax.slice_in_dim(padded, t, t + out_len, axis=axis)
+        term = sl * w[t]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def bilinear_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Fixed depthwise bilinear 2x/4x upsample (frozen fill_up_weights
-    transpose conv: kernel 2f, stride f, pad f//2, groups=C)."""
-    c = x.shape[-1]
-    k = 2 * factor
-    kern = jnp.asarray(bilinear_kernel(k), x.dtype).reshape(k, k, 1, 1)
-    kern = jnp.broadcast_to(kern, (k, k, 1, c))
-    # transpose conv (stride f, pad f//2) == dilated conv with lhs_dilation=f
-    # and padding (k - 1 - f//2) per side.
-    pad = k - 1 - factor // 2
-    return lax.conv_general_dilated(
-        x,
-        kern,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        lhs_dilation=(factor, factor),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    transpose conv: kernel 2f, stride f, pad f//2, groups=C), separable."""
+    x = _upsample_1d(x, 1, factor)  # H
+    x = _upsample_1d(x, 2, factor)  # W
+    return x
 
 
 class DlaBasicBlock(nn.Module):
@@ -268,13 +315,15 @@ class IDAUp(nn.Module):
     features: int
     up_factors: Sequence[int]
     bn_axis_name: Optional[str] = None
+    dcn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
                  train: bool = False) -> List[jnp.ndarray]:
         layers = list(layers)
-        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        common = dict(bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
+                      dtype=self.dtype)
         for i in range(startp + 1, endp):
             f = int(self.up_factors[i - startp])
             p = DeformConv(self.features, name=f"proj_{i - startp}", **common)(
@@ -298,6 +347,7 @@ class DLAUp(nn.Module):
     startp: int
     channels: Sequence[int]  # channels[startp:] of the trunk
     bn_axis_name: Optional[str] = None
+    dcn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -311,7 +361,8 @@ class DLAUp(nn.Module):
             up_f = [s // scales[j] for s in scales[j:]]
             layers_tail = IDAUp(
                 channels[j], up_f, name=f"ida_{i}",
-                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
+                dtype=self.dtype,
             )(layers, len(layers) + j, len(layers), train)
             layers = layers_tail
             out.insert(0, layers[-1])
@@ -332,6 +383,7 @@ class DLASeg(nn.Module):
     down_ratio: int = 4
     last_level: int = 5
     bn_axis_name: Optional[str] = None
+    dcn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -343,14 +395,16 @@ class DLASeg(nn.Module):
         )(x, train)
         outs = DLAUp(
             first_level, trunk_channels[first_level:],
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="dla_up",
+            bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
+            dtype=self.dtype, name="dla_up",
         )(feats, train)
 
         y = list(outs[: self.last_level - first_level])
         y = IDAUp(
             trunk_channels[first_level],
             [2 ** i for i in range(self.last_level - first_level)],
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="ida_up",
+            bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
+            dtype=self.dtype, name="ida_up",
         )(y, 0, len(y), train)
 
         return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(y[-1])

@@ -82,6 +82,7 @@ def _dla34(cfg):
         heads=cfg.model.heads(),
         head_conv=cfg.model.head_conv,
         bn_axis_name=_bn_axis(cfg),
+        dcn_impl=cfg.model.dcn_impl,
         dtype=_dtype(cfg),
     )
 

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Training CLI (reference: tools/train.py, SURVEY.md §3.1).
+
+Usage:
+  python tools/train.py --cfg experiments/res_18_512x512.yaml [KEY VALUE ...]
+  python tools/train.py --cfg ... --synthetic        # no-COCO smoke training
+  python tools/train.py --cfg ... --multihost        # jax.distributed init
+
+One process per host; the device mesh spans all chips.  Epoch loop with
+step-decay LR, periodic validation (loss + keypoint AP via the detector),
+model_last / model_best checkpoints, resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="centerpose_tpu training")
+    p.add_argument("--cfg", type=str, default=None, help="experiment yaml")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (no COCO required)")
+    p.add_argument("--synthetic-size", type=int, default=256)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before device use")
+    p.add_argument("--max-steps", type=int, default=0,
+                   help="optional hard cap on total steps (smoke tests)")
+    p.add_argument("opts", nargs="*", help="KEY VALUE config override pairs")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        from centerpose_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+
+    import jax
+
+    from centerpose_tpu.config import load_config
+    from centerpose_tpu.data.loader import DataLoader, prefetch_to_device
+    from centerpose_tpu.models.factory import create_model
+    from centerpose_tpu.parallel.mesh import create_mesh
+    from centerpose_tpu.train.checkpoints import (
+        load_checkpoint,
+        restore_state,
+        save_checkpoint,
+    )
+    from centerpose_tpu.train.trainer import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from centerpose_tpu.utils.logger import AverageMeter, Logger
+
+    cfg = load_config(args.cfg, args.opts)
+    logger = Logger(cfg)
+    logger.write(
+        f"devices: {jax.device_count()} ({jax.local_device_count()} local), "
+        f"process {jax.process_index()}/{jax.process_count()}"
+    )
+
+    # dataset
+    if args.synthetic:
+        from centerpose_tpu.data.synthetic import SyntheticPoseDataset
+
+        train_ds = SyntheticPoseDataset(args.synthetic_size, seed=1)
+        val_ds = SyntheticPoseDataset(max(32, args.synthetic_size // 8), seed=2)
+    else:
+        from centerpose_tpu.data.coco import COCOHP
+
+        train_ds = COCOHP(cfg, "train")
+        val_ds = COCOHP(cfg, "val")
+    logger.write(f"train {len(train_ds)} images, val {len(val_ds)} images")
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    global_batch = cfg.train.batch_size
+    assert global_batch % n_dev == 0, (global_batch, n_dev)
+
+    train_loader = DataLoader(
+        train_ds, cfg, batch_size=global_batch // jax.process_count(),
+        is_train=True, num_workers=cfg.train.num_workers, seed=cfg.train.seed,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
+    steps_per_epoch = max(1, train_loader.steps_per_epoch())
+
+    model = create_model(cfg)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(cfg.train.seed), steps_per_epoch, mesh
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.write(f"model {cfg.model.name}: {n_params / 1e6:.2f}M params")
+
+    start_epoch = 0
+    last_path = os.path.join(logger.log_dir, "model_last")
+    if cfg.train.resume and os.path.exists(last_path):
+        payload = load_checkpoint(last_path)
+        state = restore_state(state, payload)
+        start_epoch = int(payload["epoch"])
+        logger.write(f"resumed from {last_path} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, mesh)
+
+    best_metric = -float("inf")
+    total_steps = 0
+    for epoch in range(start_epoch + 1, cfg.train.epochs + 1):
+        meters = {}
+        t0 = time.time()
+        n_seen = 0
+        for batch in prefetch_to_device(train_loader.epoch(epoch), mesh):
+            state, stats = train_step(state, batch)
+            total_steps += 1
+            n_seen += global_batch
+            if total_steps % 20 == 0 or total_steps == 1:
+                host_stats = {k: float(v) for k, v in stats.items()}
+                for k, v in host_stats.items():
+                    meters.setdefault(k, AverageMeter()).update(v)
+            if args.max_steps and total_steps >= args.max_steps:
+                break
+        dt = time.time() - t0
+        epoch_stats = {k: m.avg for k, m in meters.items()}
+        epoch_stats["img_per_s"] = n_seen / max(dt, 1e-9)
+        logger.log_stats("train", epoch, total_steps, epoch_stats)
+
+        if jax.process_index() == 0:
+            save_checkpoint(last_path, state, epoch)
+            if cfg.train.save_all:
+                save_checkpoint(
+                    os.path.join(logger.log_dir, f"model_{epoch}"), state, epoch
+                )
+
+        if cfg.train.val_intervals > 0 and epoch % cfg.train.val_intervals == 0:
+            val_loader = DataLoader(
+                val_ds, cfg, batch_size=global_batch // jax.process_count(),
+                is_train=False, num_workers=0, seed=0,
+                shard_id=jax.process_index(), num_shards=jax.process_count(),
+            )
+            vmeters = {}
+            for batch in prefetch_to_device(val_loader.epoch(0), mesh):
+                stats = eval_step(state, batch)
+                for k, v in stats.items():
+                    vmeters.setdefault(k, AverageMeter()).update(float(v))
+            val_stats = {k: m.avg for k, m in vmeters.items()}
+            logger.log_stats("val", epoch, total_steps, val_stats)
+            metric = -val_stats.get("loss", np.inf)
+            if metric > best_metric and jax.process_index() == 0:
+                best_metric = metric
+                save_checkpoint(
+                    os.path.join(logger.log_dir, "model_best"), state, epoch
+                )
+                logger.write(f"new best (val loss {-metric:.5f}) at epoch {epoch}")
+
+        if args.max_steps and total_steps >= args.max_steps:
+            logger.write(f"hit --max-steps={args.max_steps}, stopping")
+            break
+
+    train_loader.close()
+    logger.write("done")
+
+
+if __name__ == "__main__":
+    main()
