@@ -87,7 +87,55 @@ def dcn_v2(
     wy0 = 1.0 - wy1
     wx0 = 1.0 - wx1
 
+    if g == 1:
+        # Fast path: single flat gather per corner, no group transposes.
+        x_flat = x.reshape(b, h * w, cin)  # [B, HW, C]
+        sy1 = sy[..., 0, :]  # [B, Ho, Wo, K]
+        sx1 = sx[..., 0, :]
+        m1 = m[..., 0, :]  # [B, Ho, Wo, K]
+        y0 = jnp.floor(sy1)
+        x0 = jnp.floor(sx1)
+        wy1 = sy1 - y0
+        wx1 = sx1 - x0
+
+        def corner1(yc, xc, wgt):
+            valid = (
+                (yc >= 0) & (yc <= h - 1) & (xc >= 0) & (xc <= w - 1)
+            ).astype(f32)
+            yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+            idx = (yi * w + xi).reshape(b, ho * wo * k)
+            gathered = jnp.take_along_axis(
+                x_flat, idx[:, :, None], axis=1
+            )  # [B, HoWoK, C]
+            wfull = (wgt * valid * m1).reshape(b, ho * wo * k, 1)
+            return gathered.astype(f32) * wfull
+
+        samples = (
+            corner1(y0, x0, (1 - wy1) * (1 - wx1))
+            + corner1(y0, x0 + 1, (1 - wy1) * wx1)
+            + corner1(y0 + 1, x0, wy1 * (1 - wx1))
+            + corner1(y0 + 1, x0 + 1, wy1 * wx1)
+        )  # [B, HoWoK, C]
+        cols = samples.reshape(b * ho * wo, k * cin)
+        w_col = weight.reshape(k * cin, cout)
+        # weight layout check: weight is [kh, kw, Cin, Cout] -> flat index
+        # (ky*kw + kx)*Cin + ci, matching samples' [K, Cin] flattening.
+        out = jnp.dot(
+            cols.astype(dtype), w_col.astype(dtype), preferred_element_type=f32
+        ).reshape(b, ho, wo, cout)
+        if bias is not None:
+            out = out + bias
+        return out.astype(dtype)
+
     x_flat = x.reshape(b, h * w, g, cg)  # [B, HW, G, Cg]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0  # weight toward y0+1
+    wx1 = sx - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
 
     def corner(yc, xc, wgt):
         """Gather one bilinear corner for all taps: returns [B,Ho,Wo,G,K,Cg]."""
