@@ -125,6 +125,19 @@ def encode_example(
         )
 
     num_objs = min(len(anns), max_objs)
+
+    # Fast path: vectorized geometry + native C++ per-object loop
+    # (centerpose_tpu/native/encoder.cpp).  The Python loop below is the
+    # behavioral reference and fallback (and handles dense_hp).
+    if num_objs > 0 and not cfg.loss.dense_hp and _try_native_encode(
+        anns, num_objs, num_joints, out_res, width, flipped, rot,
+        trans_out, trans_out_rot,
+        dict(hm=hm, hm_hp=hm_hp, wh=wh, hps=hps, reg=reg, ind=ind,
+             reg_mask=reg_mask, hps_mask=hps_mask, hp_offset=hp_offset,
+             hp_ind=hp_ind, hp_mask=hp_mask),
+    ):
+        num_objs = 0  # targets filled natively; skip the Python loop
+
     for k in range(num_objs):
         ann = anns[k]
         x, y, w, h = [float(v) for v in ann["bbox"]]
@@ -213,6 +226,45 @@ def encode_example(
     }
     ret.update(dense)
     return ret
+
+
+def _try_native_encode(
+    anns, num_objs, num_joints, out_res, width, flipped, rot,
+    trans_out, trans_out_rot, out,
+) -> bool:
+    """Vectorize the per-object geometry and hand the fill loop to C++.
+
+    Returns False (leaving `out` untouched-except-possibly-partially — callers
+    only skip the Python loop on True, and the native core either runs fully
+    or not at all) when the native library is unavailable.
+    """
+    from centerpose_tpu import native
+
+    if not native.available():
+        return False
+
+    bboxes = np.zeros((num_objs, 4), np.float32)
+    pts = np.zeros((num_objs, num_joints, 3), np.float32)
+    for k in range(num_objs):
+        x, y, w, h = [float(v) for v in anns[k]["bbox"]]
+        bboxes[k] = (x, y, x + w, y + h)
+        pts[k] = np.array(anns[k]["keypoints"], np.float32).reshape(num_joints, 3)
+    if flipped:
+        bboxes[:, [0, 2]] = width - bboxes[:, [2, 0]] - 1
+        pts[:, :, 0] = width - pts[:, :, 0] - 1
+        for a, b in FLIP_IDX:
+            pts[:, [a, b]] = pts[:, [b, a]]
+
+    corners = affine_transform_batch(bboxes.reshape(-1, 2), trans_out)
+    bboxes_t = np.clip(corners.reshape(num_objs, 4), 0, out_res - 1)
+    joints_t = affine_transform_batch(
+        pts[:, :, :2].reshape(-1, 2), trans_out_rot
+    ).reshape(num_objs, num_joints, 2)
+    vis = (pts[:, :, 2] > 0).astype(np.int32)
+
+    return native.encode_targets_native(
+        bboxes_t, joints_t, vis, out_res, rot != 0, out
+    )
 
 
 def _draw_dense_hp(dense_hps, dense_mask, j, ct_int, value, radius):

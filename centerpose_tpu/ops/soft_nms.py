@@ -51,7 +51,26 @@ def soft_nms_39(
     method: 0 = hard NMS, 1 = linear decay, 2 = gaussian decay (reference
     default for pose merging).  Returns the surviving rows (score > thresh),
     ordered by pick sequence — matching the Cython contract.
+
+    Dispatches to the C++ core (centerpose_tpu/native/soft_nms.cpp) when
+    built; this numpy body is the behavioral reference and fallback.
     """
+    from centerpose_tpu.native import soft_nms_39_native
+
+    native_out = soft_nms_39_native(dets, sigma, nt, thresh, method)
+    if native_out is not None:
+        return native_out
+    return soft_nms_39_numpy(dets, sigma, nt, thresh, method)
+
+
+def soft_nms_39_numpy(
+    dets: np.ndarray,
+    sigma: float = 0.5,
+    nt: float = 0.5,
+    thresh: float = 0.001,
+    method: int = 2,
+) -> np.ndarray:
+    """Pure-numpy soft-NMS body (behavioral reference for the C++ core)."""
     dets = dets.copy()
     n = dets.shape[0]
     keep = []
