@@ -91,6 +91,14 @@ class DCN(nn.Module):
                 bias, stride=self.stride, padding=pad,
                 dilation=self.dilation, deformable_groups=g,
             )
+        if self.impl == "xla_patch":
+            from centerpose_tpu.ops.dcn import dcn_v2_patch
+
+            return dcn_v2_patch(
+                x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
+                bias, stride=self.stride, padding=pad,
+                dilation=self.dilation, deformable_groups=g,
+            )
         return dcn_v2(
             x.astype(self.dtype),
             offset,

@@ -31,6 +31,123 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+
+def _tap_sample_coords(b, ho, wo, g, k, kh, kw, stride, padding, dilation,
+                       offset, f32):
+    """Absolute fractional sample coords [B, Ho, Wo, G, K] (sy, sx)."""
+    ky = (np.repeat(np.arange(kh), kw) * dilation - padding).astype(np.float32)
+    kx = (np.tile(np.arange(kw), kh) * dilation - padding).astype(np.float32)
+    oy = (jnp.arange(ho, dtype=f32) * stride)[:, None]
+    ox = (jnp.arange(wo, dtype=f32) * stride)[None, :]
+    off = offset.reshape(b, ho, wo, g, k, 2).astype(f32)
+    sy = oy[None, :, :, None, None] + jnp.asarray(ky)[None, None, None, None, :] + off[..., 0]
+    sx = ox[None, :, :, None, None] + jnp.asarray(kx)[None, None, None, None, :] + off[..., 1]
+    return sy, sx
+
+
+def dcn_v2_patch(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+) -> jnp.ndarray:
+    """dcn_v2 via 2x2xC patch gathers (deformable_groups == 1 only).
+
+    Instead of four independent bilinear-corner row gathers, issue ONE
+    lax.gather of a [2, 2, C] patch per tap sample (CLIP mode clamps the
+    start), then select the four corners elementwise.  4x fewer gather
+    indices; XLA's TPU gather emitter amortizes its per-index scalar work
+    over the whole patch.  Semantics identical to dcn_v2 (zero padding
+    outside the image, modulation mask, im2col GEMM on the MXU).
+    """
+    assert deformable_groups == 1, "patch path is g=1 only"
+    b, h, w, cin = x.shape
+    kh, kw, wcin, cout = weight.shape
+    assert wcin == cin, (wcin, cin)
+    k = kh * kw
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    assert offset.shape == (b, ho, wo, k * 2), (offset.shape,)
+    assert mask.shape == (b, ho, wo, k), (mask.shape,)
+
+    dtype = x.dtype
+    f32 = jnp.float32
+    n = ho * wo * k
+
+    sy, sx = _tap_sample_coords(
+        b, ho, wo, 1, k, kh, kw, stride, padding, dilation, offset, f32
+    )
+    sy = sy[..., 0, :].reshape(b, n)  # [B, N]
+    sx = sx[..., 0, :].reshape(b, n)
+    m = mask.reshape(b, n).astype(f32)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0
+    wx1 = sx - x0
+
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    starts = jnp.stack([y0i, x0i], axis=-1)  # [B, N, 2]; CLIP clamps to valid
+
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def gather_one(img, idx):
+        return lax.gather(
+            img, idx, dn, slice_sizes=(2, 2, cin),
+            mode=lax.GatherScatterMode.CLIP,
+        )  # [N, 2, 2, C]
+
+    patch = jax.vmap(gather_one)(x, starts)  # [B, N, 2, 2, C]
+    p00 = patch[:, :, 0, 0, :].astype(f32)
+    p01 = patch[:, :, 0, 1, :].astype(f32)
+    p10 = patch[:, :, 1, 0, :].astype(f32)
+    p11 = patch[:, :, 1, 1, :].astype(f32)
+
+    # The gather start was clamped to [0, H-2] x [0, W-2]; map each original
+    # corner to its row/col inside the patch and zero it when outside the
+    # image (matching the CUDA kernel's zero-padding bilinear).
+    sy0 = jnp.clip(y0i, 0, h - 2).astype(f32)
+    sx0 = jnp.clip(x0i, 0, w - 2).astype(f32)
+
+    def corner_val(yc, xc, pa, pb, pc, pd):
+        # select among the four patch cells by (row, col) parity
+        ry1 = (jnp.clip(yc, 0.0, h - 1.0) - sy0) >= 0.5  # row 1 of patch?
+        rx1 = (jnp.clip(xc, 0.0, w - 1.0) - sx0) >= 0.5
+        row0 = jnp.where(rx1[..., None], pb, pa)
+        row1 = jnp.where(rx1[..., None], pd, pc)
+        return jnp.where(ry1[..., None], row1, row0)
+
+    def corner_w(yc, xc, wgt):
+        valid = ((yc >= 0.0) & (yc <= h - 1.0) & (xc >= 0.0) & (xc <= w - 1.0))
+        return (wgt * valid.astype(f32) * m)[..., None]
+
+    samples = (
+        corner_val(y0, x0, p00, p01, p10, p11) * corner_w(y0, x0, (1 - wy1) * (1 - wx1))
+        + corner_val(y0, x0 + 1, p00, p01, p10, p11) * corner_w(y0, x0 + 1, (1 - wy1) * wx1)
+        + corner_val(y0 + 1, x0, p00, p01, p10, p11) * corner_w(y0 + 1, x0, wy1 * (1 - wx1))
+        + corner_val(y0 + 1, x0 + 1, p00, p01, p10, p11) * corner_w(y0 + 1, x0 + 1, wy1 * wx1)
+    )  # [B, N, C]
+
+    cols = samples.reshape(b * ho * wo, k * cin)
+    w_col = weight.reshape(k * cin, cout)
+    out = jnp.dot(
+        cols.astype(dtype), w_col.astype(dtype), preferred_element_type=f32
+    ).reshape(b, ho, wo, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(dtype)
 
 
 def dcn_v2(

@@ -1,0 +1,227 @@
+"""Fused Pallas TPU kernel for modulated deformable conv v2 (DCNv2).
+
+This is the performance path behind ``models.dla.DCN`` (``dcn_impl='pallas'``);
+``ops/dcn.py`` (pure XLA) remains the exactness reference and the training
+backward.  The reference implementation this replaces is the CUDA extension
+``lib/models/backbones/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu`` (SURVEY.md §2
+#16) — but the algorithm here is designed for the TPU's memory system, not a
+translation of the CUDA thread mapping:
+
+* The whole (zero-padded) input feature map for one batch element stays
+  resident in **VMEM** in ``[Hpad, C, W]`` layout (W on lanes).  The CUDA
+  kernel re-reads HBM/L2 per sample; here every bilinear tap is a VMEM read.
+* **x-direction gathers are exact and unrestricted**: per tap, the four
+  bilinear corners need samples at per-pixel x coordinates — done with the
+  hardware lane-gather (``tpu.dynamic_gather`` via ``jnp.take_along_axis``
+  on a [8, W] vreg, W <= 128 lanes).
+* **y-direction offsets are clamped to ±R grid cells** (R = ``max_dy``,
+  default 4): the kernel scans the 2R+4 candidate input rows per 8-row
+  output block and masks each against the per-pixel floor(y) — turning the
+  cross-sublane gather (which the VPU cannot do) into a short masked sum.
+  This is the one *documented semantic delta* vs the CUDA kernel, which
+  allows unbounded offsets; learned DCN offsets at stride-4 resolution are
+  almost always within a cell or two, and the XLA path keeps the unbounded
+  semantics for cross-checking.
+* The K*Cin gathered/modulated samples accumulate into an im2col scratch
+  ``[8 rows, K*Cin, W]``; one ``dot_general`` per output row contracts it
+  with the ``[K*Cin, Cout]`` weight on the **MXU**.
+
+Forward-only: ``dcn_v2_pallas`` wires a ``jax.custom_vjp`` whose backward
+runs the XLA formulation (``ops.dcn.dcn_v2_patch``), so training works
+end-to-end while inference gets the fused kernel.
+
+Constraints (asserted): stride=1, dilation=1, 3x3 kernel, deformable_groups=1,
+W <= 128, H % 8 == 0 — exactly the DLA-34/IDAUp configuration (SURVEY.md §2
+#8).  Other configs fall back to the XLA path in ``models.dla.DCN``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dcn_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref, cols_ref,
+                *, h, w, cin, cout, max_dy):
+    """One grid step: 8 output rows of one batch element.
+
+    Refs:
+      off_ref  [1, 8, 2K, W]  (dy, dx interleaved per tap, pre-transposed)
+      mask_ref [1, 8, K, W]   (sigmoid-ed modulation)
+      x_ref    [1, Hpad, C, W] zero-padded input, resident across the row grid
+      w_ref    [K*C, Cout]
+      b_ref    [1, Cout]
+      o_ref    [1, 8, W, Cout]
+      cols_ref [8, K*C, W] scratch (im2col buffer)
+    """
+    i = pl.program_id(1)  # output row-block index
+    f32 = jnp.float32
+    pad = max_dy + 2  # zero rows added above/below the true image
+    n_cand = 2 * max_dy + 4  # candidate input rows per tap per block
+
+    lane_x = lax.broadcasted_iota(f32, (8, w), 1)  # output x coordinate
+
+    # Per-tap gather indices and combined (bilinear-x * mask * bilinear-y)
+    # weights, precomputed once per block and reused for every channel.
+    tap_xi0 = []
+    tap_xi1 = []
+    tap_a = []  # per (k, j): (A0, A1) lane weights
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32), -max_dy, max_dy)
+        dx = off_ref[0, :, 2 * k + 1, :].astype(f32)
+        mk = mask_ref[0, :, k, :].astype(f32)
+
+        sx = lane_x + kx + dx
+        x0 = jnp.floor(sx)
+        wx1 = sx - x0
+        wx0 = 1.0 - wx1
+        v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+        v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+        xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        tap_xi0.append(xi0)
+        tap_xi1.append(xi1)
+
+        # y: sample row = (i*8 + s) + ky + dy.  Candidate window j holds
+        # padded rows i*8 + j + s, i.e. unpadded rows (i*8 + s) + (j - pad):
+        # the row-in-block s cancels, so the match condition is purely
+        # ky + floor(dy) + pad == j (y0 corner) or == j - 1 (y1 corner).
+        fy = ky + dy
+        y0f = jnp.floor(fy)
+        wy1 = fy - y0f
+        wy0 = 1.0 - wy1
+        y0p = y0f + pad
+        a_kj = []
+        for j in range(n_cand):
+            ym = (y0p == j).astype(f32) * wy0 + (y0p == j - 1).astype(f32) * wy1
+            wa = ym * mk
+            a_kj.append((wa * wx0 * v0, wa * wx1 * v1))
+        tap_a.append(a_kj)
+
+    # Accumulate im2col columns: loop channels dynamically, taps/windows
+    # statically.  Gather source vreg j = x_ref rows [i*8 + j, i*8 + j + 8).
+    def per_channel(c, _):
+        for k in range(9):
+            acc = jnp.zeros((8, w), f32)
+            xi0b = tap_xi0[k]
+            xi1b = tap_xi1[k]
+            for j in range(n_cand):
+                src = x_ref[0, pl.ds(i * 8 + j, 8), c, :].astype(f32)
+                g0 = jnp.take_along_axis(src, xi0b, axis=1)
+                g1 = jnp.take_along_axis(src, xi1b, axis=1)
+                a0, a1 = tap_a[k][j]
+                acc = acc + g0 * a0 + g1 * a1
+            cols_ref[:, k * cin + c, :] = acc
+        return 0
+
+    lax.fori_loop(0, cin, per_channel, 0)
+
+    # Contract on the MXU: per output row s, [W, K*C] x [K*C, Cout].
+    wmat = w_ref[:]
+    bias = b_ref[0, :]
+    for s in range(8):
+        cols_s = cols_ref[s]  # [K*C, W]
+        out_s = lax.dot_general(
+            cols_s, wmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [W, Cout]
+        o_ref[0, s] = out_s + bias[None, :]
+
+
+def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
+    """x [B,H,W,C] NHWC; offset [B,H,W,18]; mask [B,H,W,9] (sigmoid-ed);
+    weight [3,3,Cin,Cout]; -> [B,H,W,Cout]."""
+    b, h, w, cin = x.shape
+    kh, kw, wcin, cout = weight.shape
+    assert (kh, kw) == (3, 3) and wcin == cin
+    assert w <= 128, f"lane-gather needs W<=128, got {w}"
+    assert h % 8 == 0, f"H must be a multiple of 8, got {h}"
+    k = kh * kw
+    pad = max_dy + 2
+
+    # [B,H,W,C] -> [B, Hpad, C, W] zero-padded (zero rows give the CUDA
+    # kernel's zero-outside-image bilinear semantics in y for free).
+    xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    xt = jnp.pad(xt, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    # offsets/mask -> channel-second layout so per-tap slices are [8, W] vregs
+    offt = jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32)
+    maskt = jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32)
+    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+    bvec = (bias if bias is not None else jnp.zeros((cout,))).astype(
+        jnp.float32
+    ).reshape(1, cout)
+
+    grid = (b, h // 8)
+    out = pl.pallas_call(
+        functools.partial(
+            _dcn_kernel, h=h, w=w, cin=cin, cout=cout, max_dy=max_dy
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * pad, cin, w), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w, cout), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, k * cin, w), jnp.float32)],
+        interpret=_INTERPRET[0],
+    )(offt, maskt, xt, wmat, bvec)
+    return out.astype(x.dtype)
+
+
+_INTERPRET = [False]  # tests flip this to run the kernel on CPU
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
+                  dilation=1, deformable_groups=1):
+    """DCNv2 fused Pallas forward; backward runs the XLA formulation."""
+    assert stride == 1 and padding == 1 and dilation == 1
+    assert deformable_groups == 1
+    return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
+
+
+def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g):
+    out = dcn_v2_pallas(x, offset, mask, weight, bias, stride, padding,
+                        dilation, g)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _bwd(stride, padding, dilation, g, res, ct):
+    from centerpose_tpu.ops.dcn import dcn_v2_patch
+
+    x, offset, mask, weight, bias = res
+
+    def xla_fwd(x, offset, mask, weight, bias):
+        # Match the kernel's y-clamp so gradients are consistent with the
+        # Pallas forward (offsets at the clamp boundary get zero y-grad).
+        k2 = offset.shape[-1] // 2
+        off = offset.reshape(*offset.shape[:-1], k2, 2)
+        off = jnp.stack(
+            [jnp.clip(off[..., 0], -4.0, 4.0), off[..., 1]], axis=-1
+        ).reshape(offset.shape)
+        return dcn_v2_patch(x, off, mask, weight, bias, stride=stride,
+                            padding=padding, dilation=dilation,
+                            deformable_groups=g)
+
+    _, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
+    return vjp(ct.astype(jnp.float32))
+
+
+dcn_v2_pallas.defvjp(_fwd, _bwd)

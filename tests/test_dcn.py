@@ -158,3 +158,90 @@ def test_dcn_jit_compiles():
     )
     assert out.shape == (b, h, w, cout)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# dcn_v2_patch (single 2x2xC patch-gather formulation)
+# ---------------------------------------------------------------------------
+
+
+def test_patch_matches_reference():
+    from centerpose_tpu.ops.dcn import dcn_v2_patch
+
+    for seed, (h, w, cin, cout, stride) in enumerate(
+        [(16, 16, 8, 12, 1), (17, 13, 4, 6, 1), (16, 16, 8, 8, 2)]
+    ):
+        pad, dil = 1, 1
+        ho = (h + 2 * pad - dil * 2 - 1) // stride + 1
+        wo = (w + 2 * pad - dil * 2 - 1) // stride + 1
+        x = rand((2, h, w, cin), 20 + seed)
+        offset = rand((2, ho, wo, 18), 30 + seed, 3.0)
+        mask = jax.nn.sigmoid(rand((2, ho, wo, 9), 40 + seed))
+        wgt = rand((3, 3, cin, cout), 50 + seed, 0.3)
+        bias = rand((cout,), 60 + seed)
+        a = dcn_v2(x, offset, mask, wgt, bias, stride=stride)
+        b_ = dcn_v2_patch(x, offset, mask, wgt, bias, stride=stride)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# dcn_v2_pallas (fused TPU kernel; interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_y(offset, r=4.0):
+    b, h, w, c = offset.shape
+    off = offset.reshape(b, h, w, c // 2, 2)
+    return jnp.stack(
+        [jnp.clip(off[..., 0], -r, r), off[..., 1]], -1
+    ).reshape(b, h, w, c)
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        for seed, (h, w, cin, cout, offscale) in enumerate(
+            [(16, 16, 8, 16, 2.0), (16, 12, 4, 8, 6.0), (32, 32, 16, 8, 1.0)]
+        ):
+            x = rand((2, h, w, cin), 70 + seed)
+            offset = rand((2, h, w, 18), 80 + seed, offscale)
+            mask = jax.nn.sigmoid(rand((2, h, w, 9), 90 + seed))
+            wgt = rand((3, 3, cin, cout), 100 + seed, 0.3)
+            bias = rand((cout,), 110 + seed)
+            ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
+            out = dp.dcn_v2_pallas(x, offset, mask, wgt, bias)
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), atol=1e-4
+            )
+    finally:
+        dp._INTERPRET[0] = False
+
+
+def test_pallas_vjp_matches_xla_grads():
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        b, h, w, cin, cout = 1, 16, 16, 4, 6
+        x = rand((b, h, w, cin), 120)
+        offset = rand((b, h, w, 18), 121, 1.5)
+        mask = jax.nn.sigmoid(rand((b, h, w, 9), 122))
+        wgt = rand((3, 3, cin, cout), 123, 0.3)
+        bias = jnp.zeros((cout,))
+
+        def loss_pallas(x, o, m, wt):
+            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bias) ** 2)
+
+        def loss_xla(x, o, m, wt):
+            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bias) ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, offset, mask, wgt)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, offset, mask, wgt)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3
+            )
+    finally:
+        dp._INTERPRET[0] = False
