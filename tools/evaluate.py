@@ -33,6 +33,10 @@ def parse_args():
 def load_detector(cfg):
     import jax
 
+    from centerpose_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     from centerpose_tpu.inference.detector import Detector
     from centerpose_tpu.models.factory import create_model, init_model
     from centerpose_tpu.train.checkpoints import load_checkpoint, restore_params_filtered

@@ -33,6 +33,10 @@ def parse_args():
                    help="call jax.distributed.initialize() before device use")
     p.add_argument("--max-steps", type=int, default=0,
                    help="optional hard cap on total steps (smoke tests)")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--profile-steps", type=str, default="10:15",
+                   help="start:stop step window for --profile-dir traces")
     p.add_argument("opts", nargs="*", help="KEY VALUE config override pairs")
     return p.parse_args()
 
@@ -45,6 +49,10 @@ def main():
         init_distributed()
 
     import jax
+
+    from centerpose_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     from centerpose_tpu.config import load_config
     from centerpose_tpu.data.loader import DataLoader, prefetch_to_device
@@ -112,13 +120,18 @@ def main():
     train_step = make_train_step(model, cfg, mesh)
     eval_step = make_eval_step(model, cfg, mesh)
 
+    from centerpose_tpu.utils.profiling import step_trace_window
+
+    prof_start, prof_stop = (int(v) for v in args.profile_steps.split(":"))
     best_metric = -float("inf")
     total_steps = 0
-    for epoch in range(start_epoch + 1, cfg.train.epochs + 1):
+    with step_trace_window(args.profile_dir, prof_start, prof_stop) as tick:
+      for epoch in range(start_epoch + 1, cfg.train.epochs + 1):
         meters = {}
         t0 = time.time()
         n_seen = 0
         for batch in prefetch_to_device(train_loader.epoch(epoch), mesh):
+            tick(total_steps)
             state, stats = train_step(state, batch)
             total_steps += 1
             n_seen += global_batch
