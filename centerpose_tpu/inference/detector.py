@@ -110,6 +110,7 @@ class Detector:
                     hp_offset = hp_offset[:n]
             return multi_pose_decode(hm, wh, hps, reg, hm_hp, hp_offset, k=k)
 
+        self._process_raw = process  # unjitted; used by tools/export.py
         return jax.jit(process)
 
     # ------------------------------------------------------------------
