@@ -195,6 +195,14 @@ def create_model(cfg: Config) -> nn.Module:
 def init_model(
     model: nn.Module, rng: jax.Array, input_res: int, batch: int = 1
 ) -> Dict[str, Any]:
-    """Initialize {params, batch_stats} with a dummy NHWC input."""
+    """Initialize {params, batch_stats} with a dummy NHWC input.
+
+    On accelerator backends the init is jitted: eager init dispatches
+    hundreds of tiny ops (over a tunnel on remote TPU — minutes for DLA-34);
+    one compiled init runs in seconds.  On CPU (tests) eager init is faster
+    than compiling the giant init graph, so it stays eager there.
+    """
     dummy = jnp.zeros((batch, input_res, input_res, 3), jnp.float32)
-    return model.init(rng, dummy, train=False)
+    if jax.default_backend() == "cpu":
+        return model.init(rng, dummy, train=False)
+    return jax.jit(model.init, static_argnames="train")(rng, dummy, train=False)

@@ -65,7 +65,7 @@ def test_dla34_gradient_flows_through_dcn():
         )
         return jnp.sum(out["hm"] ** 2)
 
-    grads = jax.grad(loss)(v["params"])
+    grads = jax.jit(jax.grad(loss))(v["params"])
     # DCN offset-branch params exist and receive gradient signal structure
     flat = jax.tree_util.tree_leaves_with_path(grads)
     dcn_grads = [g for p, g in flat if "conv_offset_mask" in str(p)]

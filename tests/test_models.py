@@ -15,8 +15,8 @@ def tiny_cfg(arch, head_conv=64):
         {
             "model": {
                 "name": arch,
-                "input_res": 128,
-                "output_res": 32,
+                "input_res": 64,
+                "output_res": 16,
                 "head_conv": head_conv,
             }
         },
@@ -37,10 +37,10 @@ def check_arch(arch, head_conv=64):
     cfg = tiny_cfg(arch, head_conv)
     model = create_model(cfg)
     variables = init_model(model, jax.random.PRNGKey(0), cfg.model.input_res)
-    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     out = model.apply(variables, x, train=False)
     for name, ch in HEAD_SHAPES.items():
-        assert out[name].shape == (2, 32, 32, ch), (arch, name, out[name].shape)
+        assert out[name].shape == (2, 16, 16, ch), (arch, name, out[name].shape)
         assert np.all(np.isfinite(np.asarray(out[name])))
     # heatmap bias init: raw logits around -2.19 on a zero input
     hm_mean = float(np.mean(np.asarray(out["hm"])))
@@ -88,7 +88,7 @@ def test_res18_train_mode_updates_batch_stats():
     cfg = tiny_cfg("res_18")
     model = create_model(cfg)
     variables = init_model(model, jax.random.PRNGKey(0), cfg.model.input_res)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 128, 3)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
     out, mutated = model.apply(
         variables, x, train=True, mutable=["batch_stats"]
     )

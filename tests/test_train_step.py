@@ -3,6 +3,9 @@
 The overfit check is the reference's de-facto "can it learn" integration test
 (SURVEY.md §4), shrunk to CI scale: tiny res_18 variant on a fixed synthetic
 batch must reduce total loss substantially.
+
+Expensive artifacts (mesh, model, jitted train step, encoded batch) are
+module-scoped fixtures so the step compiles once for the whole file.
 """
 
 import numpy as np
@@ -44,14 +47,21 @@ def make_batch(cfg, n):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def test_train_step_runs_on_mesh_and_reduces_loss():
+@pytest.fixture(scope="module")
+def setup():
     cfg = tiny_cfg()
     mesh = create_mesh()
-    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
     model = create_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100, mesh)
-    step = make_train_step(model, cfg, mesh)
+    # donate=False: the initial state is reused across tests in this module.
+    step = make_train_step(model, cfg, mesh, donate=False)
     batch = shard_batch(make_batch(cfg, 8), mesh)
+    return cfg, mesh, model, state, step, batch
+
+
+def test_train_step_runs_on_mesh_and_reduces_loss(setup):
+    cfg, mesh, model, state, step, batch = setup
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
 
     state, stats0 = step(state, batch)
     first = float(stats0["loss"])
@@ -65,12 +75,8 @@ def test_train_step_runs_on_mesh_and_reduces_loss():
     assert int(state.step) == 31
 
 
-def test_train_step_batch_is_sharded_state_replicated():
-    cfg = tiny_cfg()
-    mesh = create_mesh()
-    model = create_model(cfg)
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100, mesh)
-    batch = shard_batch(make_batch(cfg, 8), mesh)
+def test_train_step_batch_is_sharded_state_replicated(setup):
+    cfg, mesh, model, state, step, batch = setup
     # batch leading axis split across 8 devices
     assert len(batch["input"].sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in batch["input"].addressable_shards}
@@ -80,13 +86,9 @@ def test_train_step_batch_is_sharded_state_replicated():
     assert all(s.data.shape == leaf.shape for s in leaf.addressable_shards)
 
 
-def test_eval_step_does_not_mutate_state():
-    cfg = tiny_cfg()
-    mesh = create_mesh()
-    model = create_model(cfg)
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100, mesh)
+def test_eval_step_does_not_mutate_state(setup):
+    cfg, mesh, model, state, step, batch = setup
     ev = make_eval_step(model, cfg, mesh)
-    batch = shard_batch(make_batch(cfg, 8), mesh)
     stats = ev(state, batch)
     assert np.isfinite(float(stats["loss"]))
 
@@ -102,13 +104,12 @@ def test_lr_schedule_step_decay():
     assert float(sched(40)) == pytest.approx(1e-5)
 
 
-def test_grad_accum_equivalence_of_step_count():
+def test_grad_accum_equivalence_of_step_count(setup):
+    _, mesh, _, _, _, batch = setup
     cfg = update_config(tiny_cfg(), {"train": {"grad_accum": 2}})
-    mesh = create_mesh()
     model = create_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100, mesh)
     step = make_train_step(model, cfg, mesh)
-    batch = shard_batch(make_batch(cfg, 8), mesh)
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
     state, _ = step(state, batch)  # accum step: params unchanged
     p1 = jax.tree_util.tree_leaves(state.params)[0]
