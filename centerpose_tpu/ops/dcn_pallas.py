@@ -65,7 +65,8 @@ def _dcn_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref, cols_ref,
     pad = max_dy + 2  # zero rows added above/below the true image
     n_cand = 2 * max_dy + 4  # candidate input rows per tap per block
 
-    lane_x = lax.broadcasted_iota(f32, (8, w), 1)  # output x coordinate
+    # tpu.iota only produces integer vectors; build the f32 ramp via convert.
+    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
 
     # Per-tap gather indices and combined (bilinear-x * mask * bilinear-y)
     # weights, precomputed once per block and reused for every channel.
