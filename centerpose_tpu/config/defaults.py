@@ -103,9 +103,13 @@ class TrainConfig:
     # Gradient accumulation steps (not in reference; cheap in JAX, useful on
     # small hosts — SURVEY.md §2 parallelism table).
     grad_accum: int = 1
-    # Cross-replica ("sync") BatchNorm.  Reference DDP uses per-device BN
-    # stats; keep False for parity (SURVEY.md §7 hard-part 4).
-    sync_bn: bool = False
+    # BatchNorm-under-data-parallelism note (SURVEY.md §7 hard-part 4): there
+    # is deliberately NO sync_bn knob.  The train step is one jit-compiled
+    # SPMD program over the global batch, so BN statistics are reductions
+    # over the *global* batch by construction (XLA inserts the cross-chip
+    # all-reduce).  This is the documented deviation from the reference's
+    # per-device DDP BN stats; at matched global batch it is at least as
+    # statistically sound.
     # Checkpointing.
     save_all: bool = False
     ckpt_every: int = 1  # epochs

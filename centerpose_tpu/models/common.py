@@ -4,8 +4,10 @@ Conventions:
 - NHWC activations, HWIO conv kernels — the layouts XLA's TPU conv emitter
   tiles onto the MXU without relayout copies.
 - BatchNorm matches torch semantics (momentum 0.1 -> flax momentum 0.9,
-  eps 1e-5).  ``bn_axis_name`` enables cross-replica ("sync") BN; default is
-  per-device stats for reference parity (SURVEY.md §7 hard-part 4).
+  eps 1e-5).  Under the jit-compiled SPMD train step BN statistics reduce
+  over the *global* batch by construction (SURVEY.md §7 hard-part 4; see the
+  TrainConfig BatchNorm note).  ``bn_axis_name`` is reserved for future
+  shard_map contexts and is always None today.
 - ``bilinear_upsample_init`` reproduces the reference's frozen-bilinear
   transpose-conv initialization (reference: fill_up_weights in the DLA/ResNet
   upsampling paths, SURVEY.md §2 #8).

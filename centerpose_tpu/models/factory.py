@@ -35,7 +35,12 @@ def _dtype(cfg: Config):
 
 
 def _bn_axis(cfg: Config):
-    return "data" if cfg.train.sync_bn else None
+    # Always None: the SPMD train step computes BN statistics over the global
+    # batch by construction (see config.TrainConfig BatchNorm note), so there
+    # is no named axis to pmean over — and under plain jit an axis_name would
+    # fail at trace time.  The bn_axis_name module fields remain for future
+    # shard_map use.
+    return None
 
 
 MODEL_FACTORY = {}

@@ -1,12 +1,16 @@
 """DLA-34 + bilinear upsample tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from centerpose_tpu.config import default_config, update_config
 from centerpose_tpu.models.dla import bilinear_upsample
 from centerpose_tpu.models.factory import create_model, init_model
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier
+
 
 
 def test_bilinear_upsample_2x_ramp():

@@ -8,11 +8,15 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from centerpose_tpu.config import default_config, update_config
 from centerpose_tpu.inference.detector import Detector
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier
+
 
 
 def _load_export_tool():

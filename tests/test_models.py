@@ -8,6 +8,9 @@ import pytest
 from centerpose_tpu.config import default_config, update_config
 from centerpose_tpu.models.factory import create_model, init_model
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier
+
+
 
 def tiny_cfg(arch, head_conv=64):
     return update_config(

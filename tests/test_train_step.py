@@ -24,6 +24,8 @@ from centerpose_tpu.train.trainer import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier
+
 
 def tiny_cfg(batch_size=8):
     return update_config(
