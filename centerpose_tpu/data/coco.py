@@ -122,12 +122,18 @@ class COCOHP:
     def run_eval(
         self, results: Dict[int, Dict[int, np.ndarray]], save_dir: Optional[str] = None
     ) -> Dict[str, float]:
-        from centerpose_tpu.eval.coco_eval import evaluate_keypoints
+        """Keypoint OKS AP summary, plus the reference's second bbox COCOeval
+        pass (reference run_eval evaluates both; SURVEY.md §2 #4) reported
+        under ``bbox_*`` keys."""
+        from centerpose_tpu.eval.coco_eval import evaluate_bboxes, evaluate_keypoints
 
         dets = self.convert_eval_format(results)
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             with open(os.path.join(save_dir, "results.json"), "w") as f:
                 json.dump(dets, f)
-        stats = evaluate_keypoints(self.gt_annotations(), dets)
+        gts = self.gt_annotations()
+        stats = evaluate_keypoints(gts, dets)
+        bbox_stats = evaluate_bboxes(gts, dets)
+        stats.update({f"bbox_{k}": v for k, v in bbox_stats.items()})
         return stats

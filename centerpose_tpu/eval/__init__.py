@@ -1,1 +1,7 @@
-from centerpose_tpu.eval.coco_eval import KeypointEval, summarize_keypoints  # noqa: F401
+from centerpose_tpu.eval.coco_eval import (  # noqa: F401
+    COCOProtocolEval,
+    KeypointEval,
+    evaluate_bboxes,
+    evaluate_keypoints,
+    summarize_keypoints,
+)
