@@ -99,6 +99,10 @@ class TrainConfig:
     optimizer: str = "adam"
     resume: bool = False
     val_intervals: int = 5
+    # Cap on images for the in-training detector-AP validation pass
+    # (0 = the whole val split).  model_best is gated on this AP, matching
+    # the reference's best-AP checkpointing (SURVEY.md §3.1).
+    val_ap_limit: int = 0
     num_workers: int = 4
     # Gradient accumulation steps (not in reference; cheap in JAX, useful on
     # small hosts — SURVEY.md §2 parallelism table).
@@ -124,6 +128,11 @@ class TestConfig:
     topk: int = 100
     vis_thresh: float = 0.3
     keep_res: bool = False
+    # keep_res pads to a multiple of this.  The reference pads to x32; under
+    # XLA every distinct padded shape is a fresh compile, so bucketing to a
+    # coarser multiple (default 128) bounds the compile count over a
+    # mixed-size image directory.  Set 32 for reference-exact padding.
+    pad_bucket: int = 128
     model_path: str = ""
 
 

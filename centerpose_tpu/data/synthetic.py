@@ -88,6 +88,58 @@ def render_scene(
     return img, anns
 
 
+class SyntheticEvalDataset:
+    """Synthetic val split exposing the COCOHP evaluation interface.
+
+    Fabricates stable image ids / gt annotation dicts over a
+    ``SyntheticPoseDataset`` so the detector -> convert_eval_format ->
+    OKS-AP chain (reference run_eval, SURVEY.md §3.4) runs without COCO data.
+    Used by tools/evaluate.py --synthetic and the in-training AP validation.
+    """
+
+    def __init__(self, num_samples: int = 64, seed: int = 2, **kw):
+        self.ds = SyntheticPoseDataset(num_samples, seed=seed, **kw)
+        self.img_ids = list(range(num_samples))
+
+    def __len__(self):
+        return len(self.ds)
+
+    def get_raw(self, i: int):
+        return self.ds.get_raw(i)
+
+    def items(self):
+        """Yield (image_id, image) pairs for the eval harness."""
+        for i in range(len(self.ds)):
+            img, _ = self.ds.get_raw(i)
+            yield i, img
+
+    def gt_annotations(self) -> List[Dict]:
+        gts = []
+        for i in range(len(self.ds)):
+            _, anns = self.ds.get_raw(i)
+            for k, a in enumerate(anns):
+                gts.append(dict(a, id=i * 100 + k + 1, image_id=i, iscrowd=0))
+        return gts
+
+    def convert_eval_format(self, results):
+        from centerpose_tpu.data.coco import COCOHP
+
+        return COCOHP.convert_eval_format(self, results)
+
+    def run_eval(self, results, save_dir=None) -> Dict[str, float]:
+        import json
+        import os
+
+        from centerpose_tpu.eval.coco_eval import evaluate_keypoints
+
+        dets = self.convert_eval_format(results)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            with open(os.path.join(save_dir, "results.json"), "w") as f:
+                json.dump(dets, f)
+        return evaluate_keypoints(self.gt_annotations(), dets)
+
+
 class SyntheticPoseDataset:
     """Dataset-like object over procedurally generated scenes.
 

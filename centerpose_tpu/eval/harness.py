@@ -1,0 +1,125 @@
+"""Pipelined detector evaluation harness.
+
+The reference overlaps host preprocessing with device inference via a
+``PrefetchDataset`` + DataLoader workers (reference tools/evaluate.py,
+SURVEY.md §3.4).  The TPU-native version overlaps THREE stages:
+
+1. **host pre-process** (cv2 affine warp + normalize) on a thread pool —
+   cv2 releases the GIL, so threads give real parallelism;
+2. **device forward+decode** via JAX's async dispatch — the jitted call
+   returns immediately, so the device executes image *i* while the host
+   pre-processes *i+n*;
+3. **host post-process** (inverse affine + merge) on the main thread,
+   draining a small in-flight queue so only completed device work is read
+   back (the D2H sync point).
+
+Used by tools/evaluate.py (the PrefetchDataset analog) and by the in-training
+validation AP pass in tools/train.py (reference gates model_best on val AP —
+SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def evaluate_detector(
+    detector,
+    items: Iterable[Tuple[int, object]],
+    workers: int = 4,
+    inflight: int = 4,
+    progress: Optional[Callable[[int], None]] = None,
+) -> Tuple[Dict[int, Dict[int, np.ndarray]], Dict[str, float], float]:
+    """Run ``detector`` over ``items`` = iterable of (img_id, image-or-path).
+
+    Returns (results keyed by img_id, cumulative per-stage times, wall time).
+    ``workers=0`` falls back to the serial ``detector.run`` path (useful as
+    the baseline in speedup measurements).
+    """
+    times = {"tot": 0.0, "pre": 0.0, "net": 0.0, "post": 0.0, "merge": 0.0}
+    results: Dict[int, Dict[int, np.ndarray]] = {}
+    t_start = time.time()
+
+    if workers <= 0:
+        for n, (img_id, im) in enumerate(items):
+            ret = detector.run(im)
+            results[img_id] = ret["results"]
+            for k in times:
+                times[k] += ret[k]
+            if progress:
+                progress(n + 1)
+        return results, times, time.time() - t_start
+
+    scales = detector.cfg.test.test_scales
+
+    def preproc(task):
+        img_id, im = task
+        t0 = time.time()
+        if isinstance(im, str):
+            import cv2
+
+            im = cv2.cvtColor(cv2.imread(im), cv2.COLOR_BGR2RGB)
+        per_scale = [detector.pre_process(im, s) for s in scales]
+        return img_id, per_scale, time.time() - t0
+
+    def drain(entry):
+        img_id, dets_devs, metas, t_disp = entry
+        t0 = time.time()
+        detections = []
+        for dets_dev, meta, scale in zip(dets_devs, metas, scales):
+            dets = np.asarray(dets_dev)  # D2H sync for this image
+            detections.append(detector.post_process(dets, meta, scale))
+        t1 = time.time()
+        results[img_id] = detector.merge_outputs(detections)
+        t2 = time.time()
+        times["net"] += t1 - t0  # device wait + readback
+        times["post"] += t1 - t0
+        times["merge"] += t2 - t1
+        times["tot"] += t2 - t_disp
+
+    n_done = 0
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pre_futs = deque()
+        device_q = deque()
+        items_it = iter(items)
+
+        def submit_more():
+            # keep up to 2*workers pre-process tasks in flight
+            while len(pre_futs) < 2 * workers:
+                try:
+                    task = next(items_it)
+                except StopIteration:
+                    return False
+                pre_futs.append(ex.submit(preproc, task))
+            return True
+
+        more = submit_more()
+        while pre_futs or device_q:
+            if pre_futs:
+                # block for the oldest pre-processed image; the device keeps
+                # executing previously dispatched work meanwhile
+                img_id, per_scale, pre_dt = pre_futs.popleft().result()
+                times["pre"] += pre_dt
+                t_disp = time.time()
+                dets_devs = [
+                    detector._process_fn(detector.variables, jnp.asarray(images))
+                    for images, _ in per_scale
+                ]
+                metas = [meta for _, meta in per_scale]
+                device_q.append((img_id, dets_devs, metas, t_disp))
+                if more:
+                    more = submit_more()
+            # drain device work beyond the in-flight window (fully at the end)
+            while len(device_q) > inflight or (not pre_futs and device_q):
+                drain(device_q.popleft())
+                n_done += 1
+                if progress:
+                    progress(n_done)
+    return results, times, time.time() - t_start

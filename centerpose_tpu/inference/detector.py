@@ -123,8 +123,13 @@ class Detector:
         height, width = image.shape[0:2]
         new_height, new_width = int(height * scale), int(width * scale)
         if self.cfg.test.keep_res:
-            inp_height = (new_height | 31) + 1
-            inp_width = (new_width | 31) + 1
+            # pad up to a multiple of test.pad_bucket (reference pads to x32;
+            # bucketing bounds XLA recompiles over mixed-size inputs — the
+            # image keeps its native pixel scale either way, only the zero
+            # border grows)
+            bucket = max(32, self.cfg.test.pad_bucket)
+            inp_height = (new_height + bucket - 1) // bucket * bucket
+            inp_width = (new_width + bucket - 1) // bucket * bucket
             c = np.array([new_width // 2, new_height // 2], dtype=np.float32)
             s = np.array([inp_width, inp_height], dtype=np.float32)
         else:

@@ -84,13 +84,17 @@ class DCN(nn.Module):
         offset = om[..., : 2 * k2 * g]
         mask = jax.nn.sigmoid(om[..., 2 * k2 * g :])
         if self.impl == "pallas":
-            from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas
+            from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas, pallas_supported
 
-            return dcn_v2_pallas(
-                x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
-                bias, stride=self.stride, padding=pad,
-                dilation=self.dilation, deformable_groups=g,
-            )
+            b, h, w, cin = x.shape
+            if pallas_supported(h, w, cin, self.features, self.kernel,
+                                self.stride, self.dilation, g):
+                return dcn_v2_pallas(
+                    x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
+                    bias, stride=self.stride, padding=pad,
+                    dilation=self.dilation, deformable_groups=g,
+                )
+            # outside the fused kernel's envelope (shape or VMEM): XLA path
         if self.impl == "xla_patch":
             from centerpose_tpu.ops.dcn import dcn_v2_patch
 

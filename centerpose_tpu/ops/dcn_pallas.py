@@ -188,6 +188,45 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
 
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
+_VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
+
+
+def _roundup(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
+    """Estimate the kernel's scoped VMEM footprint (f32, (8,128)-tiled).
+
+    TPU VMEM buffers tile the trailing two dims to (8 sublanes, 128 lanes),
+    so a W=16 feature map still occupies 128 lanes — this padding is what
+    blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256)."""
+    pad = max_dy + 2
+    x_blk = _roundup(h + 2 * pad, 8) * cin * _roundup(w, 128)
+    cols = 8 * _roundup(9 * cin, 8) * _roundup(w, 128)
+    wmat = _roundup(9 * cin, 8) * _roundup(cout, 128)
+    out_blk = 8 * _roundup(w, 8) * _roundup(cout, 128)
+    offs = 8 * _roundup(18, 8) * _roundup(w, 128) + 8 * _roundup(9, 8) * _roundup(w, 128)
+    return 4 * (x_blk + cols + wmat + out_blk + offs)
+
+
+def pallas_supported(
+    h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
+    dilation: int = 1, deformable_groups: int = 1,
+) -> bool:
+    """True when the fused kernel handles this site within its envelope
+    (shape constraints + scoped-VMEM fit); callers fall back to the XLA
+    formulation otherwise."""
+    return (
+        kernel == 3
+        and stride == 1
+        and dilation == 1
+        and deformable_groups == 1
+        and w <= 128
+        and h % 8 == 0
+        and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
+    )
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,

@@ -25,8 +25,25 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state, epoch: int = 0) -> None:
-    """Write {step, epoch, params, batch_stats, opt_state} to ``path``."""
+_ASYNC = [None]  # cached AsyncCheckpointer (orbax requires reuse to await)
+
+
+def _async_ckptr():
+    import orbax.checkpoint as ocp
+
+    if _ASYNC[0] is None:
+        _ASYNC[0] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC[0]
+
+
+def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True) -> None:
+    """Write {step, epoch, params, batch_stats, opt_state} to ``path``.
+
+    With ``async_save`` (default) the HBM->host copy happens now but the
+    file write proceeds in a background thread, so an epoch-boundary save
+    does not stall the chip; the previous async save is awaited first
+    (orbax serializes saves per checkpointer).
+    """
     payload = {
         "step": np.asarray(state.step),
         "epoch": np.asarray(epoch),
@@ -34,25 +51,55 @@ def save_checkpoint(path: str, state, epoch: int = 0) -> None:
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
-    _ckptr().save(os.path.abspath(path), payload, force=True)
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()
+        ckptr.save(os.path.abspath(path), payload, force=True)
+    else:
+        _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save has landed."""
+    if _ASYNC[0] is not None:
+        _ASYNC[0].wait_until_finished()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    wait_for_saves()
     return _ckptr().restore(os.path.abspath(path))
 
 
 def restore_state(state, payload: Dict[str, Any]):
-    """Full resume: step/params/batch_stats/opt_state from a payload."""
+    """Full resume: step/params/batch_stats/opt_state from a payload.
+
+    The saved opt_state round-trips through orbax as plain nested dicts, so
+    it is re-hung on the live optimizer's tree structure — valid only if the
+    optimizer config is unchanged between save and load.  That is checked
+    structurally here (leaf count + shapes) instead of silently producing a
+    corrupt optimizer state.
+    """
     import jax.numpy as jnp
 
+    live_leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
+    loaded_leaves = jax.tree_util.tree_leaves(payload["opt_state"])
+    if len(live_leaves) != len(loaded_leaves):
+        raise ValueError(
+            f"opt_state mismatch: checkpoint has {len(loaded_leaves)} leaves, "
+            f"optimizer expects {len(live_leaves)} — was the optimizer config "
+            "changed between save and resume?"
+        )
+    for i, (a, b) in enumerate(zip(live_leaves, loaded_leaves)):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            raise ValueError(
+                f"opt_state leaf {i} shape mismatch: checkpoint "
+                f"{np.shape(b)} vs optimizer {np.shape(a)}"
+            )
     return state.replace(
         step=jnp.asarray(payload["step"]),
         params=payload["params"],
         batch_stats=payload["batch_stats"],
-        opt_state=jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(state.opt_state),
-            jax.tree_util.tree_leaves(payload["opt_state"]),
-        ),
+        opt_state=jax.tree_util.tree_unflatten(treedef, loaded_leaves),
     )
 
 
@@ -61,9 +108,10 @@ def restore_params_filtered(
 ) -> Any:
     """Merge loaded params into init params, skipping missing keys and
     shape mismatches with a warning (reference load_model semantics)."""
-    flat_init = dict(jax.tree_util.tree_flatten_with_path(init_params)[0] and
-                     {jax.tree_util.keystr(p): v for p, v in
-                      jax.tree_util.tree_flatten_with_path(init_params)[0]})
+    flat_init = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(init_params)[0]
+    }
     flat_loaded = {
         jax.tree_util.keystr(p): v
         for p, v in jax.tree_util.tree_flatten_with_path(loaded_params)[0]
@@ -90,3 +138,90 @@ def restore_params_filtered(
     paths, treedef = jax.tree_util.tree_flatten_with_path(init_params)
     leaves = [merged[jax.tree_util.keystr(p)] for p, _ in paths]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-trunk import (reference: each backbone's init_weights loads
+# ImageNet torchvision state dicts, SURVEY.md §5.4).  No network access or
+# torchvision exists in this sandbox, so the importer takes a *numpy* state
+# dict — e.g. `{k: v.numpy() for k, v in torch.load(p).items()}` produced
+# offline — converts torch tensor layouts to flax, and merges through
+# restore_params_filtered (missing / mismatched keys keep their init).
+# ---------------------------------------------------------------------------
+def _torch_to_flax_layout(name: str, arr: np.ndarray, target_shape) -> np.ndarray:
+    """Convert one torch-layout tensor to the flax layout of target_shape.
+
+    conv kernels OIHW -> HWIO; linear [out, in] -> [in, out]; 1-D vectors
+    (BN scale/bias/running stats) pass through.
+    """
+    arr = np.asarray(arr)
+    ts = tuple(target_shape)
+    if arr.shape == ts:
+        return arr
+    if arr.ndim == 4 and tuple(np.transpose(arr, (2, 3, 1, 0)).shape) == ts:
+        return np.transpose(arr, (2, 3, 1, 0))
+    if arr.ndim == 2 and arr.T.shape == ts:
+        return arr.T
+    return arr  # shape mismatch: restore_params_filtered will skip + warn
+
+
+def import_numpy_state_dict(
+    init_params: Any,
+    state_dict: Dict[str, np.ndarray],
+    key_map: Optional[Dict[str, str]] = None,
+    verbose: bool = True,
+) -> Any:
+    """Merge a (torch-convention) numpy state dict into flax params.
+
+    state_dict keys are either flax key-paths ("block/Conv_0/kernel", the
+    `jax.tree_util.keystr` spelling with or without leading '/', with '/' or
+    '.' separators) or arbitrary names routed via ``key_map``
+    {state_dict_key: flax_path}.  Layouts are converted per-leaf by target
+    shape; anything unmatched keeps its initialization (printed when
+    verbose), so partial trunks import cleanly — the reference's
+    shape-mismatch-skip load_model behavior.
+    """
+    flat_init = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(init_params)[0]
+    }
+
+    def normalize(key: str) -> str:
+        key = key_map.get(key, key) if key_map else key
+        parts = [p for p in key.replace(".", "/").split("/") if p]
+        return "".join(f"['{p}']" for p in parts)
+
+    converted: Dict[str, np.ndarray] = {}
+    for key, arr in state_dict.items():
+        norm = normalize(key)
+        if norm not in flat_init:
+            if verbose:
+                print(f"[import] no model param for {key}; dropped")
+            continue
+        converted[norm] = _torch_to_flax_layout(key, arr, np.shape(flat_init[norm]))
+
+    # hang the converted leaves on a skeleton of the init tree and merge
+    paths, treedef = jax.tree_util.tree_flatten_with_path(init_params)
+    leaves = [
+        converted.get(jax.tree_util.keystr(p), None) for p, _ in paths
+    ]
+    loaded_partial = {
+        jax.tree_util.keystr(p): v
+        for (p, _), v in zip(paths, leaves)
+        if v is not None
+    }
+    merged = dict(flat_init)
+    n_ok = 0
+    for key, arr in loaded_partial.items():
+        if tuple(np.shape(arr)) == tuple(np.shape(flat_init[key])):
+            merged[key] = arr
+            n_ok += 1
+        elif verbose:
+            print(
+                f"[import] shape mismatch for {key}: "
+                f"{np.shape(arr)} vs {np.shape(flat_init[key])}; skipping"
+            )
+    if verbose:
+        print(f"[import] loaded {n_ok}/{len(flat_init)} params")
+    out_leaves = [merged[jax.tree_util.keystr(p)] for p, _ in paths]
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)

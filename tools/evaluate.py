@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Evaluation CLI (reference: tools/evaluate.py / test.py, SURVEY.md §3.4).
 
-Runs the detector over the val split and reports OKS keypoint AP.
+Runs the detector over the val split with host/device pipelining (the
+reference's PrefetchDataset analog — see centerpose_tpu/eval/harness.py) and
+reports OKS keypoint AP + bbox AP.
 
   python tools/evaluate.py --cfg experiments/dla_34_512x512.yaml \
       test.model_path output/default/model_best [KEY VALUE ...]
   python tools/evaluate.py --cfg ... --synthetic   # no-COCO smoke eval
+  python tools/evaluate.py --cfg ... --workers 0   # serial baseline
 """
 
 from __future__ import annotations
@@ -13,11 +16,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import numpy as np
 
 
 def parse_args():
@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0, help="evaluate first N images")
+    p.add_argument("--workers", type=int, default=4,
+                   help="pre-process threads (0 = serial detector.run loop)")
     p.add_argument("opts", nargs="*")
     return p.parse_args()
 
@@ -56,76 +58,55 @@ def load_detector(cfg):
 def main():
     args = parse_args()
     from centerpose_tpu.config import load_config
+    from centerpose_tpu.eval.harness import evaluate_detector
 
     cfg = load_config(args.cfg, args.opts)
 
     if args.synthetic:
-        from centerpose_tpu.data.synthetic import SyntheticPoseDataset
+        from centerpose_tpu.data.synthetic import SyntheticEvalDataset
 
-        ds = SyntheticPoseDataset(args.synthetic_size, seed=2)
+        dataset = SyntheticEvalDataset(args.synthetic_size, seed=2)
 
-        # adapt to the COCO eval protocol: fabricate image ids / gt anns
-        class _Wrap:
-            def __len__(self):
-                return len(ds)
-
-            def get_raw(self, i):
-                return ds.get_raw(i)
-
-            def gt_annotations(self):
-                gts = []
-                for i in range(len(ds)):
-                    _, anns = ds.get_raw(i)
-                    for k, a in enumerate(anns):
-                        gts.append(
-                            dict(a, id=i * 100 + k, image_id=i, iscrowd=0)
-                        )
-                return gts
-
-        dataset = _Wrap()
-        from centerpose_tpu.data.coco import COCOHP
-
-        convert = COCOHP.convert_eval_format.__get__(dataset)
-        from centerpose_tpu.eval.coco_eval import evaluate_keypoints
-
-        def run_eval(results, save_dir=None):
-            return evaluate_keypoints(dataset.gt_annotations(), convert(results))
+        def items():
+            for i, img in dataset.items():
+                yield i, img
 
     else:
         from centerpose_tpu.data.coco import COCOHP
 
         dataset = COCOHP(cfg, "val")
-        run_eval = dataset.run_eval
+
+        def items():
+            for i in range(len(dataset)):
+                yield dataset.img_ids[i], dataset.image_path(i)
 
     detector = load_detector(cfg)
     n = len(dataset)
     if args.limit:
         n = min(n, args.limit)
 
-    results = {}
-    times = {"tot": 0.0, "pre": 0.0, "net": 0.0, "post": 0.0, "merge": 0.0}
-    t_start = time.time()
-    for i in range(n):
-        img, _ = dataset.get_raw(i) if args.synthetic else (None, None)
-        if not args.synthetic:
-            ret = detector.run(dataset.image_path(i))
-        else:
-            ret = detector.run(img)
-        img_id = i if args.synthetic else dataset.img_ids[i]
-        results[img_id] = ret["results"]
-        for k in times:
-            times[k] += ret[k]
-        if (i + 1) % 50 == 0:
-            print(f"[{i + 1}/{n}] avg {1000 * times['tot'] / (i + 1):.1f} ms/img", flush=True)
-    wall = time.time() - t_start
+    def limited():
+        for k, item in enumerate(items()):
+            if k >= n:
+                return
+            yield item
 
-    stats = run_eval(results, save_dir=os.path.join(cfg.output_dir, cfg.exp_id))
-    print(f"\nimages: {n}  wall: {wall:.1f}s  ({n / wall:.2f} img/s)")
+    def progress(done):
+        if done % 50 == 0:
+            print(f"[{done}/{n}]", flush=True)
+
+    results, times, wall = evaluate_detector(
+        detector, limited(), workers=args.workers, progress=progress
+    )
+
+    stats = dataset.run_eval(results, save_dir=os.path.join(cfg.output_dir, cfg.exp_id))
+    print(f"\nimages: {n}  wall: {wall:.1f}s  ({n / wall:.2f} img/s, "
+          f"workers={args.workers})")
     for k in ("tot", "pre", "net", "post", "merge"):
         print(f"  {k}: {1000 * times[k] / n:.1f} ms/img")
-    print("\nOKS keypoint AP:")
+    print("\nCOCO-protocol AP:")
     for k, v in stats.items():
-        print(f"  {k:5s} {v:.4f}")
+        print(f"  {k:10s} {v:.4f}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 
 def parse_args():
@@ -79,15 +78,28 @@ def main():
 
     # dataset
     if args.synthetic:
-        from centerpose_tpu.data.synthetic import SyntheticPoseDataset
+        from centerpose_tpu.data.synthetic import (
+            SyntheticEvalDataset,
+            SyntheticPoseDataset,
+        )
 
         train_ds = SyntheticPoseDataset(args.synthetic_size, seed=1)
         val_ds = SyntheticPoseDataset(max(32, args.synthetic_size // 8), seed=2)
+        ap_dataset = SyntheticEvalDataset(max(32, args.synthetic_size // 8), seed=2)
+
+        def ap_items():
+            return ap_dataset.items()
+
     else:
         from centerpose_tpu.data.coco import COCOHP
 
         train_ds = COCOHP(cfg, "train")
         val_ds = COCOHP(cfg, "val")
+        ap_dataset = val_ds
+
+        def ap_items():
+            for i in range(len(val_ds)):
+                yield val_ds.img_ids[i], val_ds.image_path(i)
     logger.write(f"train {len(train_ds)} images, val {len(val_ds)} images")
 
     mesh = create_mesh()
@@ -119,6 +131,33 @@ def main():
 
     train_step = make_train_step(model, cfg, mesh)
     eval_step = make_eval_step(model, cfg, mesh)
+
+    # Detector for the val-interval AP pass (built once: its jitted
+    # forward+decode compiles on first use and is reused every interval).
+    # model_best is gated on this AP, matching the reference's best-AP
+    # checkpointing (SURVEY.md §3.1).
+    from centerpose_tpu.eval.harness import evaluate_detector
+    from centerpose_tpu.inference.detector import Detector
+
+    ap_detector = Detector(cfg) if jax.process_index() == 0 else None
+
+    def run_ap_eval(state):
+        ap_detector.variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        limit = cfg.train.val_ap_limit
+
+        def limited():
+            for k, item in enumerate(ap_items()):
+                if limit and k >= limit:
+                    return
+                yield item
+
+        results, _, wall = evaluate_detector(ap_detector, limited(), workers=2)
+        stats = ap_dataset.run_eval(results)
+        stats["eval_wall_s"] = wall
+        return stats
 
     from centerpose_tpu.utils.profiling import step_trace_window
 
@@ -166,13 +205,16 @@ def main():
                     vmeters.setdefault(k, AverageMeter()).update(float(v))
             val_stats = {k: m.avg for k, m in vmeters.items()}
             logger.log_stats("val", epoch, total_steps, val_stats)
-            metric = -val_stats.get("loss", np.inf)
-            if metric > best_metric and jax.process_index() == 0:
-                best_metric = metric
-                save_checkpoint(
-                    os.path.join(logger.log_dir, "model_best"), state, epoch
-                )
-                logger.write(f"new best (val loss {-metric:.5f}) at epoch {epoch}")
+            if jax.process_index() == 0:
+                ap_stats = run_ap_eval(state)
+                logger.log_stats("val_ap", epoch, total_steps, ap_stats)
+                metric = ap_stats.get("AP", -1.0)
+                if metric > best_metric:
+                    best_metric = metric
+                    save_checkpoint(
+                        os.path.join(logger.log_dir, "model_best"), state, epoch
+                    )
+                    logger.write(f"new best (val AP {metric:.4f}) at epoch {epoch}")
 
         if args.max_steps and total_steps >= args.max_steps:
             logger.write(f"hit --max-steps={args.max_steps}, stopping")
