@@ -57,10 +57,54 @@ _B0_CFG = [
 ]
 
 
+class BiFPNLayer(nn.Module):
+    """One bidirectional FPN pass with fast-normalized fusion
+    (EfficientDet-style: top-down path, then bottom-up path, each fused
+    edge carrying a learned softplus weight normalized across inputs).
+
+    Input/output: list of per-level features (fine -> coarse), all fpn_ch.
+    """
+
+    fpn_ch: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def _fuse(self, name, inputs, train):
+        w = self.param(name, nn.initializers.ones, (len(inputs),), jnp.float32)
+        w = nn.softplus(w)
+        w = w / (jnp.sum(w) + 1e-4)
+        y = sum(wi * t for wi, t in zip(w, inputs))
+        y = nn.silu(y)
+        return ConvBN(
+            self.fpn_ch, 3, 1, relu=False, name=f"{name}_conv",
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(y, train)
+
+    @nn.compact
+    def __call__(self, ps: List[jnp.ndarray], train: bool = False):
+        n = len(ps)
+        # top-down: coarse -> fine
+        td = [None] * n
+        td[n - 1] = ps[n - 1]
+        for i in range(n - 2, -1, -1):
+            td[i] = self._fuse(
+                f"td{i}", [ps[i], upsample_nearest(td[i + 1], 2)], train
+            )
+        # bottom-up: fine -> coarse (stride-2 max-pool downsample)
+        out = [None] * n
+        out[0] = td[0]
+        for i in range(1, n):
+            down = nn.max_pool(out[i - 1], (3, 3), strides=(2, 2), padding="SAME")
+            ins = [ps[i], td[i], down] if i < n - 1 else [ps[i], down]
+            out[i] = self._fuse(f"bu{i}", ins, train)
+        return out
+
+
 class PoseEfficientNet(nn.Module):
     heads: Dict[str, int] = None
     head_conv: int = 64
     fpn_ch: int = 64
+    fpn_repeats: int = 2
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -78,17 +122,15 @@ class PoseEfficientNet(nn.Module):
         feats.append(x)
         feats = feats[1:]  # drop stride-2; keep s4, s8, s16, s32
 
-        # top-down weighted fusion (BiFPN-flavored, single pass): project each
-        # level to fpn_ch, then fuse coarse->fine with learned softplus weights.
+        # project each level to fpn_ch, then run repeated BiFPN passes
+        # (reference efficientdet fusion, SURVEY.md §2 #15); the heads read
+        # the stride-4 level.
         ps = [
             ConvBN(self.fpn_ch, 1, 1, name=f"lat{i}", **common)(f, train)
             for i, f in enumerate(feats)
         ]
-        w = self.param("fuse_w", nn.initializers.ones, (len(ps) - 1, 2), jnp.float32)
-        w = nn.softplus(w)
-        y = ps[-1]
-        for i in range(len(ps) - 2, -1, -1):
-            wi = w[i] / (w[i, 0] + w[i, 1] + 1e-4)
-            y = wi[0] * ps[i] + wi[1] * upsample_nearest(y, 2)
-            y = ConvBN(self.fpn_ch, 3, 1, name=f"fuse{i}", **common)(y, train)
-        return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(y)
+        for r in range(self.fpn_repeats):
+            ps = BiFPNLayer(
+                self.fpn_ch, name=f"bifpn{r}", **common
+            )(ps, train)
+        return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(ps[0])

@@ -186,6 +186,166 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
     return out.astype(x.dtype)
 
 
+def _dcn_grouped_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref,
+                        cols_ref, *, grp, w, cin, cout, br, max_dy):
+    """Row-grouped variant for narrow feature maps (W in {16, 32, 64}).
+
+    Lanes hold ``grp = 128 // W`` consecutive image rows (lane l = g*W + x),
+    so VMEM buffers use all 128 lanes instead of padding W up to 128 — the
+    padding that blows the 16 MiB scoped-VMEM cap at the deep DLA sites —
+    and every MXU dot gets 128 result rows.  The y offset becomes part of
+    the *lane* index (source row g+dy maps to lane (g+dy-m*grp)*W + x of
+    slab m), so only ceil-range slabs m in [m_lo, m_hi] need scanning
+    instead of 2*max_dy+4 candidate rows.
+
+    Refs:
+      off_ref  [1, BR, 2K, 128]   row-grouped offsets
+      mask_ref [1, BR, K, 128]
+      x_ref    [1, Hg + 2*pad_g, C, 128]  zero-padded grouped input (whole
+               image resident across the row-group grid)
+      w_ref    [K*C, Cout]
+      b_ref    [1, Cout]
+      o_ref    [1, BR, 128, Cout]
+      cols_ref [BR, C, 128] scratch (single-tap im2col buffer)
+    """
+    import math
+
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    # max |row shift|: |ky| + max_dy for the y0 corner, +1 for the y1 corner
+    shift = max_dy + 1
+    pad_g = math.ceil((shift + 1) / grp)  # zero row-groups above/below
+    m_lo = math.floor(-shift / grp)
+    m_hi = math.floor((grp - 1 + shift + 1) / grp)
+
+    lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
+    lane_g = (lane // w).astype(f32)
+    lane_x = (lane % w).astype(f32)
+
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32), -max_dy, max_dy)
+        dx = off_ref[0, :, 2 * k + 1, :].astype(f32)
+        mk = mask_ref[0, :, k, :].astype(f32)
+
+        sx = lane_x + kx + dx
+        x0 = jnp.floor(sx)
+        wx1 = sx - x0
+        wx0 = 1.0 - wx1
+        v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+        v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+        xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+
+        fy = ky + dy
+        y0f = jnp.floor(fy)
+        wy1 = fy - y0f
+        wy0 = 1.0 - wy1
+
+        # per (slab m, y-corner c): membership, within-slab lane indices,
+        # combined weights — precomputed once per block, reused per channel
+        slabs = []
+        for m in range(m_lo, m_hi + 1):
+            for c, wyc in ((0, wy0), (1, wy1)):
+                gp = lane_g + y0f + c  # source local row (may cross groups)
+                mu = (jnp.floor(gp / grp) == m).astype(f32)
+                gl = (gp - m * grp).astype(jnp.int32)
+                gl = jnp.clip(gl, 0, grp - 1)
+                li0 = gl * w + xi0
+                li1 = gl * w + xi1
+                a0 = mu * wyc * mk * wx0 * v0
+                a1 = mu * wyc * mk * wx1 * v1
+                slabs.append((m, li0, li1, a0, a1))
+
+        def per_channel(c, _):
+            acc = jnp.zeros((br, 128), f32)
+            for m, li0, li1, a0, a1 in slabs:
+                src = x_ref[0, pl.ds(i * br + m + pad_g, br), c, :].astype(f32)
+                acc = acc + jnp.take_along_axis(src, li0, axis=1) * a0
+                acc = acc + jnp.take_along_axis(src, li1, axis=1) * a1
+            cols_ref[:, c, :] = acc
+            return 0
+
+        lax.fori_loop(0, cin, per_channel, 0)
+
+        wk = w_ref[k * cin:(k + 1) * cin, :]
+        for s in range(br):
+            part = lax.dot_general(
+                cols_ref[s], wk, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [128, Cout]
+            if k == 0:
+                o_ref[0, s] = part + b_ref[0, :][None, :]
+            else:
+                o_ref[0, s] = o_ref[0, s] + part
+
+
+def _group_rows(t: jnp.ndarray, grp: int) -> jnp.ndarray:
+    """[B, H, ch, W] -> [B, H//grp, ch, grp*W] (rows packed into lanes)."""
+    b, h, ch, w = t.shape
+    t = t.reshape(b, h // grp, grp, ch, w)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4))
+    return t.reshape(b, h // grp, ch, grp * w)
+
+
+def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
+    """Row-grouped forward for W in {16, 32, 64} (see _dcn_grouped_kernel)."""
+    import math
+
+    b, h, w, cin = x.shape
+    kh, kw, wcin, cout = weight.shape
+    grp = 128 // w
+    hg = h // grp
+    br = min(8, hg)
+    k = kh * kw
+    shift = max_dy + 1
+    pad_g = math.ceil((shift + 1) / grp)
+
+    xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)  # [B,H,C,W]
+    xt = jnp.pad(xt, ((0, 0), (pad_g * grp, pad_g * grp), (0, 0), (0, 0)))
+    xg = _group_rows(xt, grp)  # [B, Hg + 2*pad_g, C, 128]
+    offg = _group_rows(
+        jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32), grp
+    )
+    maskg = _group_rows(
+        jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32), grp
+    )
+    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+    bvec = (bias if bias is not None else jnp.zeros((cout,))).astype(
+        jnp.float32
+    ).reshape(1, cout)
+
+    grid = (b, hg // br)
+    out = pl.pallas_call(
+        functools.partial(
+            _dcn_grouped_kernel, grp=grp, w=w, cin=cin, cout=cout, br=br,
+            max_dy=max_dy,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, br, 2 * k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg + 2 * pad_g, cin, 128),
+                         lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br, 128, cout), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hg, 128, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((br, cin, 128), jnp.float32)],
+        interpret=_INTERPRET[0],
+    )(offg, maskg, xg, wmat, bvec)
+    # [B, Hg, 128, Cout] -> [B, Hg, grp, W, Cout] -> [B, H, W, Cout]
+    out = out.reshape(b, hg, grp, w, cout).reshape(b, h, w, cout)
+    return out.astype(x.dtype)
+
+
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
 _VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
@@ -196,11 +356,13 @@ def _roundup(v: int, m: int) -> int:
 
 
 def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
-    """Estimate the kernel's scoped VMEM footprint (f32, (8,128)-tiled).
+    """Estimate the row-major kernel's scoped VMEM footprint (f32,
+    (8,128)-tiled).
 
     TPU VMEM buffers tile the trailing two dims to (8 sublanes, 128 lanes),
     so a W=16 feature map still occupies 128 lanes — this padding is what
-    blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256)."""
+    blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256); those route
+    to the row-grouped variant instead."""
     pad = max_dy + 2
     x_blk = _roundup(h + 2 * pad, 8) * cin * _roundup(w, 128)
     cols = 8 * _roundup(9 * cin, 8) * _roundup(w, 128)
@@ -210,31 +372,69 @@ def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> i
     return 4 * (x_blk + cols + wmat + out_blk + offs)
 
 
+def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
+    """Scoped VMEM estimate for the row-grouped kernel variant."""
+    import math
+
+    grp = 128 // w
+    hg = h // grp
+    br = min(8, hg)
+    pad_g = math.ceil((max_dy + 2) / grp)
+    x_blk = _roundup(hg + 2 * pad_g, 8) * _roundup(cin, 8) * 128
+    cols = br * _roundup(cin, 8) * 128
+    wmat = _roundup(9 * cin, 8) * _roundup(cout, 128)
+    out_blk = br * 128 * _roundup(cout, 128)
+    offs = br * (_roundup(18, 8) + _roundup(9, 8)) * 128
+    return 4 * (x_blk + cols + wmat + out_blk + offs)
+
+
+def _rowmajor_ok(h: int, w: int, cin: int, cout: int) -> bool:
+    return (
+        w <= 128 and h % 8 == 0
+        and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
+    )
+
+
+def _grouped_ok(h: int, w: int, cin: int, cout: int) -> bool:
+    if w not in (16, 32, 64):
+        return False
+    grp = 128 // w
+    hg, rem = divmod(h, grp)
+    if rem:
+        return False
+    br = min(8, hg)
+    if hg % br:
+        return False
+    return grouped_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
+
+
 def pallas_supported(
     h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
     dilation: int = 1, deformable_groups: int = 1,
 ) -> bool:
-    """True when the fused kernel handles this site within its envelope
-    (shape constraints + scoped-VMEM fit); callers fall back to the XLA
-    formulation otherwise."""
-    return (
-        kernel == 3
-        and stride == 1
-        and dilation == 1
-        and deformable_groups == 1
-        and w <= 128
-        and h % 8 == 0
-        and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
-    )
+    """True when a fused kernel variant handles this site within its
+    envelope (shape constraints + scoped-VMEM fit); callers fall back to the
+    XLA formulation otherwise."""
+    if not (kernel == 3 and stride == 1 and dilation == 1
+            and deformable_groups == 1):
+        return False
+    return _rowmajor_ok(h, w, cin, cout) or _grouped_ok(h, w, cin, cout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
                   dilation=1, deformable_groups=1):
-    """DCNv2 fused Pallas forward; backward runs the XLA formulation."""
+    """DCNv2 fused Pallas forward; backward runs the XLA formulation.
+
+    Dispatches between the row-major kernel (wide maps, W~128) and the
+    row-grouped kernel (narrow maps, W in {16,32,64}) by VMEM fit."""
     assert stride == 1 and padding == 1 and dilation == 1
     assert deformable_groups == 1
-    return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    if _rowmajor_ok(h, w, cin, cout):
+        return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
+    return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy=4)
 
 
 def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g):

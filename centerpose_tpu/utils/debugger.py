@@ -83,3 +83,36 @@ class Debugger:
         for name, img in self.imgs.items():
             cv2.imshow(name, img)
         cv2.waitKey(0 if pause else 1)
+
+
+def render_train_debug(
+    model, variables, batch, cfg, out_dir: str, max_images: int = 4
+) -> None:
+    """Render predicted-vs-GT center/joint heatmaps for a training batch.
+
+    The reference's base_trainer debug() renders model output overlays when
+    DEBUG > 0 (SURVEY.md §2 #21); called from tools/train.py at val
+    intervals when cfg.debug > 0.
+    """
+    import jax
+    import numpy as np
+
+    mean = np.asarray(cfg.dataset.mean, np.float32)
+    std = np.asarray(cfg.dataset.std, np.float32)
+    inputs = np.asarray(batch["input"])[:max_images]
+    out = jax.device_get(
+        model.apply(variables, inputs, train=False)
+    )
+    pred_hm = 1.0 / (1.0 + np.exp(-np.asarray(out["hm"], np.float32)))
+    pred_hm_hp = 1.0 / (1.0 + np.exp(-np.asarray(out["hm_hp"], np.float32)))
+    gt_hm = np.asarray(batch["hm"])[:max_images]
+    gt_hm_hp = np.asarray(batch["hm_hp"])[:max_images]
+    for i in range(inputs.shape[0]):
+        img = np.clip((inputs[i] * std + mean) * 255.0, 0, 255).astype(np.uint8)
+        img = img[..., ::-1].copy()  # RGB -> BGR for cv2 writes
+        dbg = Debugger()
+        dbg.add_blend_heatmap(img, pred_hm[i], "pred_hm")
+        dbg.add_blend_heatmap(img, gt_hm[i], "gt_hm")
+        dbg.add_blend_heatmap(img, pred_hm_hp[i], "pred_hm_hp")
+        dbg.add_blend_heatmap(img, gt_hm_hp[i], "gt_hm_hp")
+        dbg.save_all_imgs(out_dir, prefix=f"img{i}_")

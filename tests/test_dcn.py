@@ -245,3 +245,45 @@ def test_pallas_vjp_matches_xla_grads():
             )
     finally:
         dp._INTERPRET[0] = False
+
+
+def test_pallas_grouped_kernel_matches_reference_interpret():
+    """Row-grouped variant (narrow maps, rows packed into lanes)."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        for seed, (hw, cin, cout, offscale) in enumerate(
+            [(16, 24, 16, 6.0), (32, 16, 8, 2.0), (64, 8, 8, 1.0)]
+        ):
+            assert dp._grouped_ok(hw, hw, cin, cout)
+            x = rand((2, hw, hw, cin), 130 + seed)
+            offset = rand((2, hw, hw, 18), 140 + seed, offscale)
+            mask = jax.nn.sigmoid(rand((2, hw, hw, 9), 150 + seed))
+            wgt = rand((3, 3, cin, cout), 160 + seed, 0.3)
+            bias = rand((cout,), 170 + seed)
+            ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
+            out = dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4)
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), atol=1e-4
+            )
+    finally:
+        dp._INTERPRET[0] = False
+
+
+def test_pallas_dispatch_covers_all_dla34_sites():
+    """Every DCN site in DLA-34 @512^2 must take a fused path (no silent
+    XLA fallback in the flagship config)."""
+    from centerpose_tpu.ops.dcn_pallas import (
+        _grouped_ok,
+        _rowmajor_ok,
+        pallas_supported,
+    )
+
+    sites = [
+        (512, 256, 16), (256, 256, 32), (256, 128, 32), (128, 128, 64),
+        (128, 64, 64), (256, 64, 32), (64, 64, 128),
+    ]
+    for cin, cout, hw in sites:
+        assert pallas_supported(hw, hw, cin, cout), (cin, cout, hw)
+        assert _rowmajor_ok(hw, hw, cin, cout) or _grouped_ok(hw, hw, cin, cout)

@@ -199,10 +199,22 @@ def main():
                 shard_id=jax.process_index(), num_shards=jax.process_count(),
             )
             vmeters = {}
+            debug_batch = None
             for batch in prefetch_to_device(val_loader.epoch(0), mesh):
                 stats = eval_step(state, batch)
+                if debug_batch is None:
+                    debug_batch = batch
                 for k, v in stats.items():
                     vmeters.setdefault(k, AverageMeter()).update(float(v))
+            if cfg.debug > 0 and debug_batch is not None and jax.process_index() == 0:
+                from centerpose_tpu.utils.debugger import render_train_debug
+
+                render_train_debug(
+                    model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    debug_batch, cfg,
+                    os.path.join(logger.log_dir, "debug", f"epoch_{epoch}"),
+                )
             val_stats = {k: m.avg for k, m in vmeters.items()}
             logger.log_stats("val", epoch, total_steps, val_stats)
             if jax.process_index() == 0:
