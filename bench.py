@@ -1,16 +1,24 @@
-"""Benchmark: single-chip inference throughput of the flagship model.
+"""Benchmark: single-chip throughput of the flagship model (dla_34 @512).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_images_per_s": N, ...}
 
-Metric: images/s for batched 512x512 forward+decode (fully on-device, fixed
-K=100) on the flagship backbone.  Baseline: the reference's DLA-34 GPU
-inference ≈23 FPS (BASELINE.md; batch-1 on a 1080Ti-class GPU, host decode).
+Primary metric: images/s for batched 512x512 forward + full on-device decode
+(fixed K=100) on the flagship backbone, using the fast path (fused Pallas
+DCN kernels + bfloat16 conv compute).  The same line also carries one
+512x512 train-step throughput (compile excluded) per VERDICT.md round-1
+item 3.  Baseline: the reference's DLA-34 GPU inference ~23 FPS (BASELINE.md;
+batch-1 on a 1080Ti-class GPU, host decode).
+
+The per-backbone table lives in output/bench_table.json / output/PERF.md
+(tools/bench_suite.py).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,17 +26,27 @@ import numpy as np
 
 BASELINE_FPS = 23.0  # reference DLA-34 batch-1 GPU FPS (BASELINE.md)
 
+# Fast path (validated in output/dcn_validation.json on real hardware);
+# override via env for A/B runs.
+DCN_IMPL = os.environ.get("BENCH_DCN_IMPL", "pallas")
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
+    from centerpose_tpu.config import load_config
     from centerpose_tpu.losses import sigmoid_clamped
     from centerpose_tpu.models.factory import create_model, init_model
     from centerpose_tpu.ops.decode import multi_pose_decode
 
-    cfg = _flagship_cfg()
+    cfg = load_config(
+        opts=[
+            "model.name", "dla_34", "model.head_conv", "256",
+            "model.dcn_impl", DCN_IMPL, "model.compute_dtype", DTYPE,
+        ]
+    )
     model = create_model(cfg)
     variables = init_model(model, jax.random.PRNGKey(0), cfg.model.input_res)
 
@@ -65,13 +83,43 @@ def main():
     dt = time.perf_counter() - t0
     images_per_s = batch * iters / dt
 
+    # ---- train-step throughput (same chip, synthetic encoded batch) ----
+    from centerpose_tpu.data.encode import encode_example
+    from centerpose_tpu.data.synthetic import SyntheticPoseDataset
+    from centerpose_tpu.train.trainer import create_train_state, make_train_step
+
+    train_batch = 8
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100)
+    step = make_train_step(model, cfg, mesh=None)
+    ds = SyntheticPoseDataset(train_batch, seed=0)
+    rng = np.random.default_rng(0)
+    enc = [
+        encode_example(*ds.get_raw(i), cfg, rng, True) for i in range(train_batch)
+    ]
+    bt = {k: jnp.asarray(np.stack([e[k] for e in enc])) for k in enc[0]}
+    state, stats = step(state, bt)
+    np.asarray(stats["loss"])  # compile + sync
+    titers = 15
+    t0 = time.perf_counter()
+    for _ in range(titers):
+        state, stats = step(state, bt)
+    np.asarray(stats["loss"])
+    tdt = time.perf_counter() - t0
+    train_images_per_s = train_batch * titers / tdt
+
     print(
         json.dumps(
             {
-                "metric": f"{cfg.model.name} 512x512 inference images/s/chip (batch {batch}, on-device decode)",
+                "metric": (
+                    f"dla_34 512x512 inference images/s/chip (batch {batch}, "
+                    f"on-device decode, {DCN_IMPL}+{DTYPE})"
+                ),
                 "value": round(images_per_s, 2),
                 "unit": "images/s",
                 "vs_baseline": round(images_per_s / BASELINE_FPS, 2),
+                "train_images_per_s": round(train_images_per_s, 2),
+                "train_batch": train_batch,
+                "train_step_ms": round(tdt / titers * 1e3, 1),
             }
         )
     )

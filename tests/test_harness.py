@@ -1,0 +1,46 @@
+"""Pipelined eval harness: prefetch path must produce byte-identical results
+to the serial detector.run loop, for single- and multi-scale configs."""
+
+import numpy as np
+import pytest
+
+from centerpose_tpu.config import load_config
+from centerpose_tpu.data.synthetic import SyntheticEvalDataset
+from centerpose_tpu.eval.harness import evaluate_detector
+from centerpose_tpu.inference.detector import Detector
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = load_config(opts=[
+        "model.name", "res_18", "model.input_res", "256",
+        "model.output_res", "64", "test.topk", "20",
+    ])
+    return Detector(cfg)
+
+
+def _items(n=5, seed=3):
+    ds = SyntheticEvalDataset(n, seed=seed)
+    return list(ds.items())
+
+
+def test_prefetch_matches_serial(detector):
+    items = _items()
+    serial, _, _ = evaluate_detector(detector, items, workers=0)
+    piped, _, _ = evaluate_detector(detector, items, workers=3, inflight=2)
+    assert set(serial) == set(piped)
+    for img_id in serial:
+        np.testing.assert_array_equal(serial[img_id][1], piped[img_id][1])
+
+
+def test_prefetch_single_worker_small_inflight(detector):
+    items = _items(3, seed=4)
+    serial, _, _ = evaluate_detector(detector, items, workers=0)
+    piped, _, _ = evaluate_detector(detector, items, workers=1, inflight=1)
+    for img_id in serial:
+        np.testing.assert_array_equal(serial[img_id][1], piped[img_id][1])
+
+
+def test_prefetch_empty_items(detector):
+    results, times, wall = evaluate_detector(detector, [], workers=2)
+    assert results == {}
