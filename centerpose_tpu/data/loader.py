@@ -135,11 +135,14 @@ def prefetch_to_device(
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    err: List[BaseException] = []
 
     def producer():
         try:
             for batch in host_iter:
                 q.put(shard_batch(batch, mesh))
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
         finally:
             q.put(_SENTINEL)
 
@@ -148,5 +151,7 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is _SENTINEL:
+            if err:
+                raise err[0]
             break
         yield item

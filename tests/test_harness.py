@@ -44,3 +44,22 @@ def test_prefetch_single_worker_small_inflight(detector):
 def test_prefetch_empty_items(detector):
     results, times, wall = evaluate_detector(detector, [], workers=2)
     assert results == {}
+
+
+def test_prefetch_to_device_propagates_errors():
+    import jax
+
+    from centerpose_tpu.data.loader import prefetch_to_device
+    from centerpose_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(jax.devices()[:1])
+
+    def bad_iter():
+        yield {"input": np.zeros((1, 8, 8, 3), np.float32)}
+        raise RuntimeError("encoder exploded")
+
+    it = prefetch_to_device(bad_iter(), mesh)
+    next(it)
+    with pytest.raises(RuntimeError, match="encoder exploded"):
+        for _ in it:
+            pass
