@@ -83,7 +83,7 @@ class DCN(nn.Module):
         )(x)
         offset = om[..., : 2 * k2 * g]
         mask = jax.nn.sigmoid(om[..., 2 * k2 * g :])
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "pallas_full"):
             from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas, pallas_supported
 
             b, h, w, cin = x.shape
@@ -93,6 +93,7 @@ class DCN(nn.Module):
                     x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
                     bias, stride=self.stride, padding=pad,
                     dilation=self.dilation, deformable_groups=g,
+                    kernel_bwd=(self.impl == "pallas_full"),
                 )
             # outside the fused kernel's envelope (shape or VMEM): XLA path
         if self.impl == "xla_patch":

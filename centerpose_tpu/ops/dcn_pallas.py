@@ -346,6 +346,242 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
     return out.astype(x.dtype)
 
 
+def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
+                            dx_ref, doff_ref, dmask_ref, dw_ref,
+                            cols_ref, dcols_ref,
+                            *, grp, w, cin, cout, br, max_dy):
+    """Backward for the (row-grouped) fused DCN: one grid step recomputes the
+    block's bilinear taps and produces every gradient on-chip.
+
+    The CUDA extension hand-writes this as col2im scatter loops
+    (dcn_v2_cuda backward, SURVEY.md §2 #16); the TPU formulation instead
+    expresses each piece as MXU work:
+
+      dcols  = W  x ct^T                    (one dot per tap/sublane)
+      dW    += cols x ct                    (recomputed im2col columns)
+      dmask  = sum_c dcols * unmodulated-sample
+      doff   = sum_c dcols * mask * d(bilinear)/d(dy,dx)  (corner diffs)
+      dx     = dcols_k @ A_m                (scatter as one-hot matmuls:
+               A_m[pix, src] holds the bilinear weights of the pixels whose
+               corner lands in source slab m — the gather transpose)
+
+    dx_ref [1, Hg+2pad_g, C, 128] accumulates across the (sequential) row
+    grid; dw_ref [K*C, Cout] accumulates across the whole grid.
+    """
+    import math
+
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    shift = max_dy + 1
+    pad_g = math.ceil((shift + 1) / grp)
+    m_lo = math.floor(-shift / grp)
+    m_hi = math.floor((grp - 1 + shift + 1) / grp)
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _zero_dw():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    @pl.when(i == 0)
+    def _zero_dx():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
+    lane_g = (lane // w).astype(f32)
+    lane_x = (lane % w).astype(f32)
+    iota_src = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        dy_raw = off_ref[0, :, 2 * k, :].astype(f32)
+        dy = jnp.clip(dy_raw, -max_dy, max_dy)
+        clamp_pass = ((dy_raw >= -max_dy) & (dy_raw <= max_dy)).astype(f32)
+        dx_ = off_ref[0, :, 2 * k + 1, :].astype(f32)
+        mk = mask_ref[0, :, k, :].astype(f32)
+
+        sx = lane_x + kx + dx_
+        x0 = jnp.floor(sx)
+        wx1 = sx - x0
+        wx0 = 1.0 - wx1
+        v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+        v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+        xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+
+        fy = ky + dy
+        y0f = jnp.floor(fy)
+        wy1 = fy - y0f
+        wy0 = 1.0 - wy1
+
+        # per (slab, y-corner): membership + within-slab lane indices
+        slabs = []
+        for m in range(m_lo, m_hi + 1):
+            per_corner = []
+            for cy in (0, 1):
+                gp = lane_g + y0f + cy
+                mu = (jnp.floor(gp / grp) == m).astype(f32)
+                gl = jnp.clip((gp - m * grp).astype(jnp.int32), 0, grp - 1)
+                per_corner.append((mu, gl * w + xi0, gl * w + xi1))
+            slabs.append((m, per_corner))
+
+        # dcols_k = W_k x ct^T  -> [C, 128] per sublane
+        wk = w_ref[k * cin:(k + 1) * cin, :]
+        for s in range(br):
+            dcols_ref[s] = lax.dot_general(
+                wk, ct_ref[0, s], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        # channel loop: corner values -> cols (for dW), dmask/doffset sums
+        def per_channel(c, carry):
+            dm_acc, ddy_acc, ddx_acc = carry
+            g00 = jnp.zeros((br, 128), f32)
+            g01 = jnp.zeros((br, 128), f32)
+            g10 = jnp.zeros((br, 128), f32)
+            g11 = jnp.zeros((br, 128), f32)
+            for m, per_corner in slabs:
+                src = x_ref[0, pl.ds(i * br + m + pad_g, br), c, :].astype(f32)
+                mu0, li00, li01 = per_corner[0]
+                mu1, li10, li11 = per_corner[1]
+                g00 = g00 + mu0 * jnp.take_along_axis(src, li00, axis=1)
+                g01 = g01 + mu0 * jnp.take_along_axis(src, li01, axis=1)
+                g10 = g10 + mu1 * jnp.take_along_axis(src, li10, axis=1)
+                g11 = g11 + mu1 * jnp.take_along_axis(src, li11, axis=1)
+            sample_unmod = (
+                wy0 * (wx0 * v0 * g00 + wx1 * v1 * g01)
+                + wy1 * (wx0 * v0 * g10 + wx1 * v1 * g11)
+            )
+            cols_ref[:, c, :] = sample_unmod * mk
+            dc = dcols_ref[:, c, :]
+            dm_acc = dm_acc + dc * sample_unmod
+            ddx_acc = ddx_acc + dc * mk * (
+                wy0 * (v1 * g01 - v0 * g00) + wy1 * (v1 * g11 - v0 * g10)
+            )
+            ddy_acc = ddy_acc + dc * mk * (
+                wx0 * v0 * (g10 - g00) + wx1 * v1 * (g11 - g01)
+            )
+            return dm_acc, ddy_acc, ddx_acc
+
+        zero = jnp.zeros((br, 128), f32)
+        dm_acc, ddy_acc, ddx_acc = lax.fori_loop(
+            0, cin, per_channel, (zero, zero, zero)
+        )
+        dmask_ref[0, :, k, :] = dm_acc
+        doff_ref[0, :, 2 * k, :] = ddy_acc * clamp_pass
+        doff_ref[0, :, 2 * k + 1, :] = ddx_acc
+
+        # dW_k += cols x ct  (accumulated across the whole grid)
+        for s in range(br):
+            dw_ref[k * cin:(k + 1) * cin, :] += lax.dot_general(
+                cols_ref[s], ct_ref[0, s], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        # dx: per slab, scatter-as-matmul.  A_m[pix, src] collects every
+        # corner weight of pixels whose corner lands in source slab m; the
+        # gather transpose then rides the MXU as dcols_k @ A_m.
+        for m, per_corner in slabs:
+            a = jnp.zeros((br, 128, 128), f32)
+            for cy, wyc in ((0, wy0), (1, wy1)):
+                mu, li0, li1 = per_corner[cy]
+                w0 = mu * wyc * mk * wx0 * v0
+                w1 = mu * wyc * mk * wx1 * v1
+                a = a + w0[..., None] * (li0[..., None] == iota_src[None, 0:1, :]).astype(f32)
+                a = a + w1[..., None] * (li1[..., None] == iota_src[None, 0:1, :]).astype(f32)
+            updates = jnp.stack([
+                lax.dot_general(
+                    dcols_ref[s], a[s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                for s in range(br)
+            ])  # [br, C, 128]: sublane s scatters into source row base+m+s
+            base = i * br + m + pad_g
+            window = dx_ref[0, pl.ds(base, br), :, :]
+            dx_ref[0, pl.ds(base, br), :, :] = window + updates
+
+
+def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
+    """XLA wrapper: grouped prep, kernel call, un-group the gradients."""
+    import math
+
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    grp = 128 // w
+    hg = h // grp
+    br = min(8, hg)
+    k = kh * kw
+    shift = max_dy + 1
+    pad_g = math.ceil((shift + 1) / grp)
+
+    xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    xt = jnp.pad(xt, ((0, 0), (pad_g * grp, pad_g * grp), (0, 0), (0, 0)))
+    xg = _group_rows(xt, grp)
+    offg = _group_rows(jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32), grp)
+    maskg = _group_rows(jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32), grp)
+    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+    ctg = ct.astype(jnp.float32).reshape(b, hg, grp * w, cout)
+
+    grid = (b, hg // br)
+    hpad = hg + 2 * pad_g
+    dxg, doffg, dmaskg, dw = pl.pallas_call(
+        functools.partial(
+            _dcn_grouped_bwd_kernel, grp=grp, w=w, cin=cin, cout=cout,
+            br=br, max_dy=max_dy,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, br, 2 * k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hpad, cin, 128), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, 128, cout), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hpad, cin, 128), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, 2 * k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, k, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hpad, cin, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hg, 2 * k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hg, k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k * cin, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((br, cin, 128), jnp.float32),
+            pltpu.VMEM((br, cin, 128), jnp.float32),
+        ],
+        interpret=_INTERPRET[0],
+    )(offg, maskg, xg, wmat, ctg)
+
+    def ungroup_ch(t, ch):
+        # [B, Hg', ch, 128] -> [B, H', W, ch] (reverse of _group_rows + transpose)
+        bb, hgp, _, _ = t.shape
+        t = t.reshape(bb, hgp, ch, grp, w)
+        t = jnp.transpose(t, (0, 1, 3, 2, 4))
+        t = t.reshape(bb, hgp * grp, ch, w)
+        return jnp.transpose(t, (0, 1, 3, 2))
+
+    dx_full = ungroup_ch(dxg, cin)[:, pad_g * grp: pad_g * grp + h]
+    doff = ungroup_ch(doffg, 2 * k)
+    dmask = ungroup_ch(dmaskg, k)
+    dweight = dw.reshape(kh, kw, cin, cout)
+    dbias = ct.astype(jnp.float32).sum((0, 1, 2))
+    return (dx_full.astype(x.dtype), doff.astype(offset.dtype),
+            dmask.astype(mask.dtype), dweight.astype(weight.dtype),
+            dbias)
+
+
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
 _VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
@@ -408,6 +644,29 @@ def _grouped_ok(h: int, w: int, cin: int, cout: int) -> bool:
     return grouped_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
 
 
+def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
+    """Eligibility for the fused backward (grouped layout incl. W=128)."""
+    if w not in (16, 32, 64, 128) or 128 % w:
+        return False
+    grp = 128 // w
+    hg, rem = divmod(h, grp)
+    if rem:
+        return False
+    br = min(8, hg)
+    if hg % br:
+        return False
+    # bwd adds the resident dx accumulator + a second scratch + ct block
+    extra = grouped_vmem_bytes(h, w, cin, cout)  # fwd-style buffers
+    import math
+
+    pad_g = math.ceil(6 / grp)
+    dx_buf = 4 * _roundup(hg + 2 * pad_g, 8) * _roundup(cin, 8) * 128
+    dcols = 4 * br * _roundup(cin, 8) * 128
+    ct_blk = 4 * br * 128 * _roundup(cout, 128)
+    dw_buf = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)
+    return extra + dx_buf + dcols + ct_blk + dw_buf <= _VMEM_LIMIT
+
+
 def pallas_supported(
     h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
     dilation: int = 1, deformable_groups: int = 1,
@@ -421,13 +680,14 @@ def pallas_supported(
     return _rowmajor_ok(h, w, cin, cout) or _grouped_ok(h, w, cin, cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
-                  dilation=1, deformable_groups=1):
-    """DCNv2 fused Pallas forward; backward runs the XLA formulation.
+                  dilation=1, deformable_groups=1, kernel_bwd=False):
+    """DCNv2 fused Pallas forward; backward via the fused grouped kernel
+    (``kernel_bwd=True``, shapes permitting) or the XLA formulation.
 
-    Dispatches between the row-major kernel (wide maps, W~128) and the
-    row-grouped kernel (narrow maps, W in {16,32,64}) by VMEM fit."""
+    Forward dispatches between the row-major kernel (wide maps, W~128) and
+    the row-grouped kernel (narrow maps, W in {16,32,64}) by VMEM fit."""
     assert stride == 1 and padding == 1 and dilation == 1
     assert deformable_groups == 1
     b, h, w, cin = x.shape
@@ -437,16 +697,26 @@ def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
     return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy=4)
 
 
-def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g):
+def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g, kb):
     out = dcn_v2_pallas(x, offset, mask, weight, bias, stride, padding,
-                        dilation, g)
+                        dilation, g, kb)
     return out, (x, offset, mask, weight, bias)
 
 
-def _bwd(stride, padding, dilation, g, res, ct):
-    from centerpose_tpu.ops.dcn import dcn_v2_patch
-
+def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
     x, offset, mask, weight, bias = res
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+
+    if kernel_bwd and _grouped_bwd_ok(h, w, cin, cout):
+        dx, doff, dmask, dweight, dbias = _dcn_pallas_grouped_bwd_impl(
+            x, offset, mask, weight, ct, max_dy=4
+        )
+        return (dx, doff, dmask, dweight,
+                None if bias is None else dbias.astype(
+                    jnp.asarray(bias).dtype))
+
+    from centerpose_tpu.ops.dcn import dcn_v2_patch
 
     def xla_fwd(x, offset, mask, weight, bias):
         # Match the kernel's y-clamp so gradients are consistent with the

@@ -287,3 +287,34 @@ def test_pallas_dispatch_covers_all_dla34_sites():
     for cin, cout, hw in sites:
         assert pallas_supported(hw, hw, cin, cout), (cin, cout, hw)
         assert _rowmajor_ok(hw, hw, cin, cout) or _grouped_ok(hw, hw, cin, cout)
+
+
+def test_pallas_fused_backward_matches_xla_grads():
+    """kernel_bwd=True routes through the fused grouped backward kernel."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        hw, cin, cout = 16, 8, 8
+        assert dp._grouped_bwd_ok(hw, hw, cin, cout)
+        x = rand((1, hw, hw, cin), 200)
+        offset = rand((1, hw, hw, 18), 201, 5.0)
+        mask = jax.nn.sigmoid(rand((1, hw, hw, 9), 202))
+        wgt = rand((3, 3, cin, cout), 203, 0.3)
+        bias = rand((cout,), 204)
+
+        def loss_kernel(x, o, m, wt, bb):
+            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bb, 1, 1, 1, 1, True) ** 2)
+
+        def loss_xla(x, o, m, wt, bb):
+            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bb) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+    finally:
+        dp._INTERPRET[0] = False
