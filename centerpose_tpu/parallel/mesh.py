@@ -74,3 +74,28 @@ def init_distributed(
             process_id=process_id,
         )
     jax.distributed.initialize(**kwargs)
+
+
+def create_mesh_2d(
+    n_data: int,
+    n_spatial: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D (data x spatial) mesh for activation-grid sharding.
+
+    The reference has no sequence/context parallelism (pure CNN, SURVEY.md
+    §5.7); the TPU-idiomatic analog for inputs that outgrow one chip's HBM
+    is GSPMD spatial sharding of the conv grid: shard H over 'spatial' and
+    let XLA insert the halo exchanges for every conv window.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_spatial]).reshape(
+        n_data, n_spatial
+    )
+    return Mesh(devices, ("data", "spatial"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] arrays: batch over 'data', image rows over 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial"))
