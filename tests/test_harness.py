@@ -63,3 +63,32 @@ def test_prefetch_to_device_propagates_errors():
     with pytest.raises(RuntimeError, match="encoder exploded"):
         for _ in it:
             pass
+
+
+def test_prefetch_matches_serial_multiscale_flip():
+    # config #4 shape: multi-scale + flip-test + soft-NMS merge
+    cfg = load_config(opts=[
+        "model.name", "res_18", "model.input_res", "256",
+        "model.output_res", "64", "test.topk", "20",
+        "test.test_scales", "0.75,1.0", "test.flip_test", "true",
+    ])
+    det = Detector(cfg)
+    items = _items(3, seed=5)
+    serial, _, _ = evaluate_detector(det, items, workers=0)
+    piped, _, _ = evaluate_detector(det, items, workers=2, inflight=2)
+    for img_id in serial:
+        np.testing.assert_array_equal(serial[img_id][1], piped[img_id][1])
+
+
+def test_run_batch_matches_single():
+    cfg = load_config(opts=[
+        "model.name", "res_18", "model.input_res", "256",
+        "model.output_res", "64", "test.topk", "20",
+    ])
+    det = Detector(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(3, 256, 256, 3)).astype(np.float32)
+    batched = det.run_batch(frames)
+    for i in range(3):
+        single = det.run_batch(frames[i : i + 1])
+        np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
