@@ -71,18 +71,22 @@ def evaluate_detector(
 
     def drain(entry):
         img_id, dets_devs, metas, t_disp = entry
-        t0 = time.time()
+        net_dt = post_dt = 0.0
         detections = []
         for dets_dev, meta, scale in zip(dets_devs, metas, scales):
+            t0 = time.time()
             dets = np.asarray(dets_dev)  # D2H sync for this image
+            t1 = time.time()
             detections.append(detector.post_process(dets, meta, scale))
-        t1 = time.time()
-        results[img_id] = detector.merge_outputs(detections)
+            net_dt += t1 - t0
+            post_dt += time.time() - t1
         t2 = time.time()
-        times["net"] += t1 - t0  # device wait + readback
-        times["post"] += t1 - t0
-        times["merge"] += t2 - t1
-        times["tot"] += t2 - t_disp
+        results[img_id] = detector.merge_outputs(detections)
+        t3 = time.time()
+        times["net"] += net_dt  # device wait + readback
+        times["post"] += post_dt
+        times["merge"] += t3 - t2
+        times["tot"] += t3 - t_disp
 
     n_done = 0
     with ThreadPoolExecutor(max_workers=workers) as ex:
