@@ -2,6 +2,7 @@
 VJP finite-difference)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -247,6 +248,7 @@ def test_pallas_vjp_matches_xla_grads():
         dp._INTERPRET[0] = False
 
 
+@pytest.mark.slow
 def test_pallas_grouped_kernel_matches_reference_interpret():
     """Row-grouped variant (narrow maps, rows packed into lanes)."""
     import centerpose_tpu.ops.dcn_pallas as dp
@@ -289,6 +291,7 @@ def test_pallas_dispatch_covers_all_dla34_sites():
         assert _rowmajor_ok(hw, hw, cin, cout) or _grouped_ok(hw, hw, cin, cout)
 
 
+@pytest.mark.slow
 def test_pallas_fused_backward_matches_xla_grads():
     """kernel_bwd=True routes through the fused grouped backward kernel."""
     import centerpose_tpu.ops.dcn_pallas as dp
@@ -316,5 +319,25 @@ def test_pallas_fused_backward_matches_xla_grads():
                 np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4,
                 err_msg=name,
             )
+    finally:
+        dp._INTERPRET[0] = False
+
+
+def test_pallas_grouped_kernel_small_interpret():
+    """Fast-tier smoke of the row-grouped layout (full sweep in slow tier)."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        hw, cin, cout = 16, 8, 8
+        assert dp._grouped_ok(hw, hw, cin, cout)
+        x = rand((1, hw, hw, cin), 300)
+        offset = rand((1, hw, hw, 18), 301, 5.0)
+        mask = jax.nn.sigmoid(rand((1, hw, hw, 9), 302))
+        wgt = rand((3, 3, cin, cout), 303, 0.3)
+        bias = rand((cout,), 304)
+        ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
+        out = dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
     finally:
         dp._INTERPRET[0] = False
