@@ -233,6 +233,9 @@ def main():
             break
 
     train_loader.close()
+    from centerpose_tpu.train.checkpoints import wait_for_saves
+
+    wait_for_saves()  # finalize the last async checkpoint before exiting
     logger.write("done")
 
 
