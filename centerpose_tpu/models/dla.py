@@ -88,7 +88,8 @@ class DCN(nn.Module):
 
             b, h, w, cin = x.shape
             if pallas_supported(h, w, cin, self.features, self.kernel,
-                                self.stride, self.dilation, g):
+                                self.stride, self.dilation, g,
+                                dtype=self.dtype):
                 return dcn_v2_pallas(
                     x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
                     bias, stride=self.stride, padding=pad,

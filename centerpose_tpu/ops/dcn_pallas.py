@@ -7,9 +7,10 @@ backward.  The reference implementation this replaces is the CUDA extension
 #16) — but the algorithm here is designed for the TPU's memory system, not a
 translation of the CUDA thread mapping:
 
-* The whole (zero-padded) input feature map for one batch element stays
-  resident in **VMEM** in ``[Hpad, C, W]`` layout (W on lanes).  The CUDA
-  kernel re-reads HBM/L2 per sample; here every bilinear tap is a VMEM read.
+* The (zero-padded) input lives in ``[Hpad, C, W]`` layout (W on lanes);
+  each grid step DMAs the 8+2·pad source rows its block can touch into a
+  **VMEM** slab scratch, so every bilinear tap is a VMEM read (the CUDA
+  kernel re-reads HBM/L2 per sample) without whole-image VMEM residency.
 * **x-direction gathers are exact and unrestricted**: per tap, the four
   bilinear corners need samples at per-pixel x coordinates — done with the
   hardware lane-gather (``tpu.dynamic_gather`` via ``jnp.take_along_axis``
@@ -47,23 +48,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dcn_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref, cols_ref,
-                *, h, w, cin, cout, max_dy):
+def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, b_ref, o_ref, cols_ref,
+                xs_ref, dma_sem, *, h, w, cin, cout, max_dy):
     """One grid step: 8 output rows of one batch element.
 
     Refs:
       off_ref  [1, 8, 2K, W]  (dy, dx interleaved per tap, pre-transposed)
       mask_ref [1, 8, K, W]   (sigmoid-ed modulation)
-      x_ref    [1, Hpad, C, W] zero-padded input, resident across the row grid
+      x_hbm    [B, Hpad, C, W] zero-padded input, left in HBM (`ANY`); the
+               8+2*pad source rows a block can touch are DMA'd into xs_ref
+               per grid step.  (Whole-image VMEM residency overflowed the
+               16 MiB scoped cap at W=128 once embedded in the full DLA-34
+               graph — measured 17.91M vs 16M on v5e.)
       w_ref    [K*C, Cout]
       b_ref    [1, Cout]
       o_ref    [1, 8, W, Cout]
       cols_ref [8, K*C, W] scratch (im2col buffer)
+      xs_ref   [8 + 2*pad, C, W] scratch (per-block source-row slab)
+      dma_sem  DMA semaphore for the slab copy
     """
+    bi = pl.program_id(0)
     i = pl.program_id(1)  # output row-block index
     f32 = jnp.float32
     pad = max_dy + 2  # zero rows added above/below the true image
     n_cand = 2 * max_dy + 4  # candidate input rows per tap per block
+
+    # Fetch this block's slab of source rows [i*8, i*8 + 8 + 2*pad).
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * 8, 8 + 2 * pad)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
 
     # tpu.iota only produces integer vectors; build the f32 ramp via convert.
     lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
@@ -114,7 +129,7 @@ def _dcn_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref, cols_ref,
             xi0b = tap_xi0[k]
             xi1b = tap_xi1[k]
             for j in range(n_cand):
-                src = x_ref[0, pl.ds(i * 8 + j, 8), c, :].astype(f32)
+                src = xs_ref[pl.ds(j, 8), c, :].astype(f32)
                 g0 = jnp.take_along_axis(src, xi0b, axis=1)
                 g1 = jnp.take_along_axis(src, xi1b, axis=1)
                 a0, a1 = tap_a[k][j]
@@ -149,6 +164,8 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
 
     # [B,H,W,C] -> [B, Hpad, C, W] zero-padded (zero rows give the CUDA
     # kernel's zero-outside-image bilinear semantics in y for free).
+    # (bf16 VMEM storage was tried and reverted: Mosaic cannot lower
+    # extent-1 channel reads of (16,128)-packed bf16 tiles.)
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
     xt = jnp.pad(xt, ((0, 0), (pad, pad), (0, 0), (0, 0)))
     # offsets/mask -> channel-second layout so per-tap slices are [8, W] vregs
@@ -170,8 +187,7 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * pad, cin, w), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; slab DMA
             pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
@@ -180,7 +196,11 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
         out_specs=pl.BlockSpec((1, 8, w, cout), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, k * cin, w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, k * cin, w), jnp.float32),
+            pltpu.VMEM((8 + 2 * pad, cin, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=_INTERPRET[0],
     )(offt, maskt, xt, wmat, bvec)
     return out.astype(x.dtype)
@@ -389,7 +409,10 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
     lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
     lane_g = (lane // w).astype(f32)
     lane_x = (lane % w).astype(f32)
-    iota_src = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    # One-hot comparisons need a direct 3-D iota: Mosaic fails to lower the
+    # sliced-2D-iota broadcast form ("Shape mismatch in input, indices and
+    # output" — it pattern-matches it into an invalid dynamic_gather).
+    iota_src3 = lax.broadcasted_iota(jnp.int32, (br, 128, 128), 2)
 
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
@@ -486,8 +509,8 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
                 mu, li0, li1 = per_corner[cy]
                 w0 = mu * wyc * mk * wx0 * v0
                 w1 = mu * wyc * mk * wx1 * v1
-                a = a + w0[..., None] * (li0[..., None] == iota_src[None, 0:1, :]).astype(f32)
-                a = a + w1[..., None] * (li1[..., None] == iota_src[None, 0:1, :]).astype(f32)
+                a = a + w0[..., None] * (li0[..., None] == iota_src3).astype(f32)
+                a = a + w1[..., None] * (li1[..., None] == iota_src3).astype(f32)
             updates = jnp.stack([
                 lax.dot_general(
                     dcols_ref[s], a[s], (((1,), (0,)), ((), ())),
@@ -598,14 +621,17 @@ def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> i
     TPU VMEM buffers tile the trailing two dims to (8 sublanes, 128 lanes),
     so a W=16 feature map still occupies 128 lanes — this padding is what
     blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256); those route
-    to the row-grouped variant instead."""
+    to the row-grouped variant instead.  x itself stays in HBM (slab DMA per
+    block), so only the 8+2*pad-row slab scratch counts here.  Pipelined
+    (grid-varying) blocks are double-buffered by Pallas — count them twice."""
     pad = max_dy + 2
-    x_blk = _roundup(h + 2 * pad, 8) * cin * _roundup(w, 128)
+    x_slab = _roundup(8 + 2 * pad, 8) * cin * _roundup(w, 128)
     cols = 8 * _roundup(9 * cin, 8) * _roundup(w, 128)
     wmat = _roundup(9 * cin, 8) * _roundup(cout, 128)
-    out_blk = 8 * _roundup(w, 8) * _roundup(cout, 128)
-    offs = 8 * _roundup(18, 8) * _roundup(w, 128) + 8 * _roundup(9, 8) * _roundup(w, 128)
-    return 4 * (x_blk + cols + wmat + out_blk + offs)
+    out_blk = 2 * 8 * _roundup(w, 8) * _roundup(cout, 128)
+    offs = 2 * (8 * _roundup(18, 8) * _roundup(w, 128)
+                + 8 * _roundup(9, 8) * _roundup(w, 128))
+    return 4 * (x_slab + cols + wmat + out_blk + offs)
 
 
 def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
@@ -624,7 +650,8 @@ def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> 
     return 4 * (x_blk + cols + wmat + out_blk + offs)
 
 
-def _rowmajor_ok(h: int, w: int, cin: int, cout: int) -> bool:
+def _rowmajor_ok(h: int, w: int, cin: int, cout: int,
+                 dtype=None) -> bool:
     return (
         w <= 128 and h % 8 == 0
         and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
@@ -645,8 +672,13 @@ def _grouped_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
 
 def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
-    """Eligibility for the fused backward (grouped layout incl. W=128)."""
-    if w not in (16, 32, 64, 128) or 128 % w:
+    """Eligibility for the fused backward (grouped layout, W<=64).
+
+    W=128 is excluded: measured on v5e, the 64->64 @128x128 backward needs
+    28.5M scoped VMEM (the f32 dx accumulator + fwd-recompute buffers for a
+    whole 128-row image) against the 16M cap; that site's backward runs via
+    the XLA formulation instead."""
+    if w not in (16, 32, 64) or 128 % w:
         return False
     grp = 128 // w
     hg, rem = divmod(h, grp)
@@ -669,15 +701,16 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
 def pallas_supported(
     h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
-    dilation: int = 1, deformable_groups: int = 1,
+    dilation: int = 1, deformable_groups: int = 1, dtype=None,
 ) -> bool:
     """True when a fused kernel variant handles this site within its
     envelope (shape constraints + scoped-VMEM fit); callers fall back to the
-    XLA formulation otherwise."""
+    XLA formulation otherwise.  ``dtype`` is the activation compute dtype at
+    the call site (W=128 row-major needs bf16 x storage to fit VMEM)."""
     if not (kernel == 3 and stride == 1 and dilation == 1
             and deformable_groups == 1):
         return False
-    return _rowmajor_ok(h, w, cin, cout) or _grouped_ok(h, w, cin, cout)
+    return _grouped_ok(h, w, cin, cout) or _rowmajor_ok(h, w, cin, cout, dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -692,9 +725,11 @@ def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
     assert deformable_groups == 1
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
-    if _rowmajor_ok(h, w, cin, cout):
-        return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
-    return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy=4)
+    # Prefer the grouped layout wherever it applies: it fills all 128 lanes
+    # (row-major pads W<128 up to 128, wasting VPU width) and needs less VMEM.
+    if _grouped_ok(h, w, cin, cout):
+        return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy=4)
+    return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
 
 
 def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g, kb):
@@ -721,17 +756,20 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
     def xla_fwd(x, offset, mask, weight, bias):
         # Match the kernel's y-clamp so gradients are consistent with the
         # Pallas forward (offsets at the clamp boundary get zero y-grad).
+        # Upcast to f32 like the kernel does (bf16 rounds once at storage,
+        # arithmetic is f32); the vjp converts dx back to x.dtype.
         k2 = offset.shape[-1] // 2
         off = offset.reshape(*offset.shape[:-1], k2, 2)
         off = jnp.stack(
             [jnp.clip(off[..., 0], -4.0, 4.0), off[..., 1]], axis=-1
         ).reshape(offset.shape)
-        return dcn_v2_patch(x, off, mask, weight, bias, stride=stride,
+        return dcn_v2_patch(x.astype(jnp.float32), off, mask,
+                            weight.astype(jnp.float32), bias, stride=stride,
                             padding=padding, dilation=dilation,
                             deformable_groups=g)
 
-    _, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
-    return vjp(ct.astype(jnp.float32))
+    primal, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
+    return vjp(ct.astype(primal.dtype))
 
 
 dcn_v2_pallas.defvjp(_fwd, _bwd)

@@ -289,6 +289,12 @@ def test_pallas_dispatch_covers_all_dla34_sites():
     for cin, cout, hw in sites:
         assert pallas_supported(hw, hw, cin, cout), (cin, cout, hw)
         assert _rowmajor_ok(hw, hw, cin, cout) or _grouped_ok(hw, hw, cin, cout)
+    # narrow sites route grouped-first (full lane occupancy, less VMEM);
+    # W=128 uses the slab-DMA row-major kernel
+    for cin, cout, hw in sites:
+        if hw in (16, 32, 64):
+            assert _grouped_ok(hw, hw, cin, cout), (cin, cout, hw)
+    assert _rowmajor_ok(128, 128, 64, 64)
 
 
 @pytest.mark.slow

@@ -108,6 +108,56 @@ def site_check(offset_scale: float, seed: int = 0):
     return rows
 
 
+def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
+    """On-chip check of the fused grouped backward (dcn_impl=pallas_full):
+    all five gradients vs XLA autodiff of the clamped formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from centerpose_tpu.ops.dcn_pallas import _grouped_bwd_ok, dcn_v2_pallas
+    from centerpose_tpu.ops.dcn import dcn_v2_patch
+
+    rows = []
+    rng = np.random.default_rng(seed)
+    for cin, cout, hw in DLA34_DCN_SITES:
+        if not _grouped_bwd_ok(hw, hw, cin, cout):
+            rows.append({"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": False})
+            continue
+        x = jnp.asarray(rng.normal(size=(batch, hw, hw, cin)).astype(np.float32))
+        off = jnp.asarray(
+            (rng.normal(size=(batch, hw, hw, 18)) * offset_scale).astype(np.float32))
+        mask = jax.nn.sigmoid(
+            jnp.asarray(rng.normal(size=(batch, hw, hw, 9)).astype(np.float32)))
+        w = jnp.asarray((rng.normal(size=(3, 3, cin, cout))
+                         / np.sqrt(9 * cin)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+        def loss_pallas(x, off, mask, w, b):
+            return (dcn_v2_pallas(x, off, mask, w, b, kernel_bwd=True) ** 2).sum()
+
+        def loss_xla(x, off, mask, w, b):
+            offc = off.reshape(*off.shape[:-1], 9, 2)
+            offc = jnp.stack(
+                [jnp.clip(offc[..., 0], -4.0, 4.0), offc[..., 1]], -1
+            ).reshape(off.shape)
+            return (dcn_v2_patch(x, offc, mask, w, b) ** 2).sum()
+
+        gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4)))(
+            x, off, mask, w, b)
+        gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
+            x, off, mask, w, b)
+        row = {"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": True}
+        for name, p, r in zip(("dx", "doffset", "dmask", "dweight", "dbias"),
+                              gp, gx):
+            p = np.asarray(p)
+            r = np.asarray(r)
+            denom = max(np.abs(r).max(), 1e-6)
+            row[f"rel_err_{name}"] = float(np.abs(p - r).max() / denom)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def model_check(batch: int = 2, seed: int = 0):
     """Full dla_34 forward, pallas vs xla, with offset-conv noise injected so
     the DCN sites see non-zero offsets (the zero-init branch is trivial)."""
@@ -232,6 +282,7 @@ def main():
             f"{worst:.2e}, vs unclamped-XLA {worst_free:.2e}",
             flush=True,
         )
+    out["bwd"] = bwd_check()
     out["model"] = model_check()
     print("dla_34 full-model pallas-vs-xla rel err per head:", json.dumps(out["model"]), flush=True)
     if not args.skip_timing:
