@@ -88,8 +88,7 @@ class DCN(nn.Module):
 
             b, h, w, cin = x.shape
             if pallas_supported(h, w, cin, self.features, self.kernel,
-                                self.stride, self.dilation, g,
-                                dtype=self.dtype):
+                                self.stride, self.dilation, g):
                 return dcn_v2_pallas(
                     x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
                     bias, stride=self.stride, padding=pad,

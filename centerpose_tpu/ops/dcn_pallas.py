@@ -187,7 +187,7 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; slab DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; slab DMA
             pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
@@ -409,10 +409,12 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
     lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
     lane_g = (lane // w).astype(f32)
     lane_x = (lane % w).astype(f32)
-    # One-hot comparisons need a direct 3-D iota: Mosaic fails to lower the
-    # sliced-2D-iota broadcast form ("Shape mismatch in input, indices and
-    # output" — it pattern-matches it into an invalid dynamic_gather).
-    iota_src3 = lax.broadcasted_iota(jnp.int32, (br, 128, 128), 2)
+    # Transposed one-hot: src lane index on the SUBLANE axis (dim 1).  The
+    # lane-major form (iota on dim 2, masks broadcast via [..., None]) forces
+    # a lane->sublane relayout of every [br, 128] mask per slab — measured 5x
+    # slower on v5e.  (A direct 3-D iota is also required: Mosaic fails to
+    # lower the sliced-2D-iota broadcast form.)
+    iota_sub3 = lax.broadcasted_iota(jnp.int32, (br, 128, 128), 1)
 
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
@@ -500,27 +502,38 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
                 preferred_element_type=f32,
             )
 
-        # dx: per slab, scatter-as-matmul.  A_m[pix, src] collects every
+        # dx: per slab, scatter-as-matmul.  A_m^T[src, pix] collects every
         # corner weight of pixels whose corner lands in source slab m; the
-        # gather transpose then rides the MXU as dcols_k @ A_m.
-        for m, per_corner in slabs:
-            a = jnp.zeros((br, 128, 128), f32)
+        # gather transpose rides the MXU as a batched NT dot.  fori (not a
+        # static unroll): each slab's [br, 128, 128] one-hot temporaries
+        # would otherwise stack up across 9 taps x ~7 slabs past the 16M
+        # scoped-VMEM cap.
+        def m_body(mi, _, *, ky=ky, k=k):
+            m = mi + m_lo
+            mf = m.astype(f32)
+            at = jnp.zeros((br, 128, 128), f32)
             for cy, wyc in ((0, wy0), (1, wy1)):
-                mu, li0, li1 = per_corner[cy]
+                gp = lane_g + y0f + cy
+                mu = (jnp.floor(gp / grp) == mf).astype(f32)
+                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
+                li0 = gl * w + xi0
+                li1 = gl * w + xi1
                 w0 = mu * wyc * mk * wx0 * v0
                 w1 = mu * wyc * mk * wx1 * v1
-                a = a + w0[..., None] * (li0[..., None] == iota_src3).astype(f32)
-                a = a + w1[..., None] * (li1[..., None] == iota_src3).astype(f32)
-            updates = jnp.stack([
-                lax.dot_general(
-                    dcols_ref[s], a[s], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                for s in range(br)
-            ])  # [br, C, 128]: sublane s scatters into source row base+m+s
+                at = (at
+                      + w0[:, None, :] * (li0[:, None, :] == iota_sub3).astype(f32)
+                      + w1[:, None, :] * (li1[:, None, :] == iota_sub3).astype(f32))
+            updates = lax.dot_general(
+                dcols_ref[...].astype(jnp.bfloat16), at.astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [br, C, 128]: sublane s scatters into source row base+m+s
             base = i * br + m + pad_g
             window = dx_ref[0, pl.ds(base, br), :, :]
             dx_ref[0, pl.ds(base, br), :, :] = window + updates
+            return 0
+
+        lax.fori_loop(0, m_hi - m_lo + 1, m_body, 0)
 
 
 def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
@@ -605,6 +618,177 @@ def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
             dbias)
 
 
+def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
+                            off_s, mask_s, ct_s, dcols_s,
+                            sem_off, sem_mask, sem_ct,
+                            *, w, cin, cout, max_dy):
+    """Input-owned dx for the row-major (W=128) sites: one grid step computes
+    the dx block for 8 *input* rows exactly — no scatter, no whole-image
+    accumulator.
+
+    Key idea: the transpose of a y-banded bilinear gather is itself a
+    y-banded *gather of the cotangent*.  Output row j contributes to input
+    row t = j + d where d = floor(ky + clamp(dy)) (+1 for the second corner),
+    |d| bounded by the y-clamp — so an input block's sources are a fixed
+    24-row slab of (ct, offset, mask), DMA'd per grid step.  Within a row
+    the x-scatter becomes MXU work: per (tap, band-offset d), a one-hot
+    matrix A[pix, src_lane] built from lane-index equality carries each
+    pixel's bilinear-x corner weights, and dx_row += dcols_row @ A.
+
+    Refs:
+      off_hbm  [B, H + 2*PAD, 2K, W]  channel-second offsets (zero-padded)
+      mask_hbm [B, H + 2*PAD, K, W]
+      ct_hbm   [B, H + 2*PAD, Cout, W]
+      w_ref    [K*Cin, Cout] (VMEM)
+      dx_ref   [1, 8, Cin, W] output block
+      off_s/mask_s/ct_s: [24, ch, W] VMEM slab scratch
+      dcols_s  [24, Cin, W] scratch: dcols_k for every slab row
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    PAD = 8   # zero rows added above/below in the wrapper
+    SLAB = 24  # slab rows [i*8 - 8, i*8 + 16) in unpadded coords
+
+    for src, dst, sem in ((off_hbm, off_s, sem_off),
+                          (mask_hbm, mask_s, sem_mask),
+                          (ct_hbm, ct_s, sem_ct)):
+        cp = pltpu.make_async_copy(src.at[bi, pl.ds(i * 8, SLAB)], dst, sem)
+        cp.start()
+        cp.wait()
+
+    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
+    # Transposed one-hot: src on the SUBLANE axis (dim 1).  The lane-major
+    # form (iota on dim 2, masks via w0[..., None]) forces a lane->sublane
+    # relayout of every [8, W] mask per band — measured 5x slower.
+    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)
+
+    dx_ref[...] = jnp.zeros_like(dx_ref)
+    # dcols for ALL taps and slab rows in one pass: per row one MXU dot
+    # [K*Cin, Cout] @ [Cout, W]; stored bf16 (the band dots run bf16 anyway).
+    wbig = w_ref[...]
+    for j in range(SLAB):
+        d_ = lax.dot_general(
+            wbig, ct_s[j][:cout].astype(f32), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [K*Cin, W]
+        dcols_s[j] = d_.astype(dcols_s.dtype)
+
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+
+        # Band offsets d = floor(ky + dy) (+1): d in [ky-max_dy, ky+max_dy+1].
+        # MUST be a fori_loop, not a static unroll: Mosaic allocates kernel
+        # stack for every unrolled iteration's [8, W, W] one-hot temporaries
+        # (measured 64.75M scoped VMEM vs the 16M cap at 9 taps x 10 bands);
+        # the dynamic loop bounds the live set to one band.
+        def d_body(di, _, *, ky=ky, kx=kx, k=k):
+            d = di + (ky - max_dy)  # traced band offset
+            sl = pl.ds(PAD - d, 8)  # slab rows j = (i*8 + s) - d
+            dy = jnp.clip(off_s[sl, 2 * k, :].astype(f32), -max_dy, max_dy)
+            dxo = off_s[sl, 2 * k + 1, :].astype(f32)
+            mk = mask_s[sl, k, :].astype(f32)
+
+            sx = lane_x + kx + dxo
+            x0 = jnp.floor(sx)
+            wx1 = sx - x0
+            wx0 = 1.0 - wx1
+            v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+            v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+            xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+            xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+
+            fy = ky + dy
+            y0f = jnp.floor(fy)
+            wy1 = fy - y0f
+            # fold both y corners: corner 0 lands at d iff y0f == d,
+            # corner 1 iff y0f == d - 1
+            df = d.astype(f32)
+            wy_d = ((y0f == df).astype(f32) * (1.0 - wy1)
+                    + (y0f == df - 1.0).astype(f32) * wy1)
+            w0 = wy_d * mk * wx0 * v0
+            w1 = wy_d * mk * wx1 * v1
+            # at[row, src, pix]: masks broadcast along sublanes (cheap)
+            at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
+                  + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
+                  ).astype(jnp.bfloat16)
+
+            rows = dcols_s[sl, k * cin:(k + 1) * cin, :]  # [8, Cin, W(pix)]
+            contrib = lax.dot_general(
+                rows, at, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [8, Cin, W(src)]
+            dx_ref[0] = dx_ref[0] + contrib
+            return 0
+
+        lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
+
+
+def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
+    """XLA wrapper for the input-owned dx kernel: channel-second transposes,
+    8-row zero padding, pallas_call over (batch, H/8) input row blocks."""
+    b, h, w, cout = ct.shape
+    kh, kw, cin, wcout = weight.shape
+    assert wcout == cout and w == 128 and h % 8 == 0
+    k = kh * kw
+    PAD = 8
+
+    def prep(t):  # [B, H, W, ch] -> [B, H + 2*PAD, ch8, W] zero-padded
+        # ch pads to a multiple of 8: a manual slab DMA whose second-minor
+        # extent is not sublane-aligned (e.g. the 18-channel offsets) faults
+        # the TPU worker (measured on v5e; the aligned 64-ch copy is fine).
+        t = jnp.transpose(t, (0, 1, 3, 2)).astype(jnp.float32)
+        ch8 = _roundup(t.shape[2], 8) - t.shape[2]
+        return jnp.pad(t, ((0, 0), (PAD, PAD), (0, ch8), (0, 0)))
+
+    offt = prep(offset)
+    maskt = prep(mask)
+    ctt = prep(ct)
+    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+
+    grid = (b, h // 8)
+    dx = pl.pallas_call(
+        functools.partial(
+            _dcn_rowmajor_dx_kernel, w=w, cin=cin, cout=cout, max_dy=max_dy
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cin, w), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, cin, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((24, _roundup(2 * k, 8), w), jnp.float32),
+            pltpu.VMEM((24, _roundup(k, 8), w), jnp.float32),
+            pltpu.VMEM((24, _roundup(cout, 8), w), jnp.float32),
+            pltpu.VMEM((24, k * cin, w), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET[0],
+    )(offt, maskt, ctt, wmat)
+    return jnp.transpose(dx, (0, 1, 3, 2))  # [B, H, W, Cin]
+
+
+def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int) -> bool:
+    """Eligibility for the input-owned dx kernel (W=128 row-major sites)."""
+    if w != 128 or h % 8:
+        return False
+    slabs = 4 * 24 * (_roundup(2 * 9, 8) + _roundup(9, 8)
+                      + _roundup(cout, 8)) * w
+    dcols = 2 * 24 * 9 * cin * w  # bf16 all-taps dcols scratch
+    wmat = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)
+    out_blk = 2 * 4 * 8 * _roundup(cin, 8) * w
+    a_buf = 4 * 8 * w * w
+    return slabs + dcols + wmat + out_blk + a_buf <= _VMEM_LIMIT
+
+
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
 _VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
@@ -616,7 +800,9 @@ def _roundup(v: int, m: int) -> int:
 
 def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
     """Estimate the row-major kernel's scoped VMEM footprint (f32,
-    (8,128)-tiled).
+    (8,128)-tiled).  Intentionally H-independent (x stays in HBM; only the
+    fixed-size slab counts) — ``h`` is kept for call-site symmetry with
+    ``grouped_vmem_bytes``.
 
     TPU VMEM buffers tile the trailing two dims to (8 sublanes, 128 lanes),
     so a W=16 feature map still occupies 128 lanes — this padding is what
@@ -650,8 +836,7 @@ def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> 
     return 4 * (x_blk + cols + wmat + out_blk + offs)
 
 
-def _rowmajor_ok(h: int, w: int, cin: int, cout: int,
-                 dtype=None) -> bool:
+def _rowmajor_ok(h: int, w: int, cin: int, cout: int) -> bool:
     return (
         w <= 128 and h % 8 == 0
         and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
@@ -701,16 +886,15 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
 def pallas_supported(
     h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
-    dilation: int = 1, deformable_groups: int = 1, dtype=None,
+    dilation: int = 1, deformable_groups: int = 1,
 ) -> bool:
     """True when a fused kernel variant handles this site within its
     envelope (shape constraints + scoped-VMEM fit); callers fall back to the
-    XLA formulation otherwise.  ``dtype`` is the activation compute dtype at
-    the call site (W=128 row-major needs bf16 x storage to fit VMEM)."""
+    XLA formulation otherwise."""
     if not (kernel == 3 and stride == 1 and dilation == 1
             and deformable_groups == 1):
         return False
-    return _grouped_ok(h, w, cin, cout) or _rowmajor_ok(h, w, cin, cout, dtype)
+    return _grouped_ok(h, w, cin, cout) or _rowmajor_ok(h, w, cin, cout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -751,24 +935,66 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
                 None if bias is None else dbias.astype(
                     jnp.asarray(bias).dtype))
 
-    from centerpose_tpu.ops.dcn import dcn_v2_patch
+    if kernel_bwd and _rowmajor_dx_ok(h, w, cin, cout):
+        # Split backward for the wide (W=128) sites: dx — the only gradient
+        # whose XLA transpose is a scatter — runs through the input-owned
+        # Pallas kernel; doffset/dmask/dW/db stay on XLA autodiff with x
+        # *frozen*, which keeps them pure gather direction (forward-cost).
+        doff, dmask, dweight, dbias = _frozen_x_grads(
+            x, offset, mask, weight, bias, ct,
+            stride=stride, padding=padding, dilation=dilation, g=g,
+        )
+        dx = _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy=4)
+        return (dx.astype(x.dtype), doff, dmask, dweight,
+                None if bias is None else dbias)
 
     def xla_fwd(x, offset, mask, weight, bias):
-        # Match the kernel's y-clamp so gradients are consistent with the
-        # Pallas forward (offsets at the clamp boundary get zero y-grad).
-        # Upcast to f32 like the kernel does (bf16 rounds once at storage,
-        # arithmetic is f32); the vjp converts dx back to x.dtype.
-        k2 = offset.shape[-1] // 2
-        off = offset.reshape(*offset.shape[:-1], k2, 2)
-        off = jnp.stack(
-            [jnp.clip(off[..., 0], -4.0, 4.0), off[..., 1]], axis=-1
-        ).reshape(offset.shape)
-        return dcn_v2_patch(x.astype(jnp.float32), off, mask,
-                            weight.astype(jnp.float32), bias, stride=stride,
-                            padding=padding, dilation=dilation,
-                            deformable_groups=g)
+        return _xla_fwd_clamped(x, offset, mask, weight, bias,
+                                stride=stride, padding=padding,
+                                dilation=dilation, g=g)
 
     primal, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
+    return vjp(ct.astype(primal.dtype))
+
+
+def _xla_fwd_clamped(x, offset, mask, weight, bias, *, stride, padding,
+                     dilation, g):
+    """XLA forward matching the fused kernels' y-clamp semantics, used to
+    derive fallback gradients (offsets at the clamp boundary get zero
+    y-grad; f32 arithmetic like the kernels).
+
+    NOTE: must be the flat-gather formulation (dcn_v2), not dcn_v2_patch —
+    the patch lax.gather's transpose scatter measured ~40x slower on v5e
+    (35.8 s vs 0.9 s dla_34 batch-8 train step, output/dcn_train_share.json).
+    """
+    from centerpose_tpu.ops.dcn import dcn_v2
+
+    k2 = offset.shape[-1] // 2
+    off = offset.reshape(*offset.shape[:-1], k2, 2)
+    off = jnp.stack(
+        [jnp.clip(off[..., 0], -4.0, 4.0), off[..., 1]], axis=-1
+    ).reshape(offset.shape)
+    return dcn_v2(x.astype(jnp.float32), off, mask,
+                  weight.astype(jnp.float32), bias, stride=stride,
+                  padding=padding, dilation=dilation, deformable_groups=g)
+
+
+def _frozen_x_grads(x, offset, mask, weight, bias, ct, *, stride, padding,
+                    dilation, g):
+    """(doffset, dmask, dweight, dbias) via XLA autodiff with x held
+    constant — every piece is gather-direction or a GEMM transpose; the
+    scatter (dx) is excluded and handled by the Pallas dx kernel."""
+    def fwd(offset, mask, weight, bias):
+        return _xla_fwd_clamped(x, offset, mask, weight, bias, stride=stride,
+                                padding=padding, dilation=dilation, g=g)
+
+    if bias is None:
+        primal, vjp = jax.vjp(
+            lambda o, m, wt: fwd(o, m, wt, None), offset, mask, weight
+        )
+        doff, dmask, dweight = vjp(ct.astype(primal.dtype))
+        return doff, dmask, dweight, None
+    primal, vjp = jax.vjp(fwd, offset, mask, weight, bias)
     return vjp(ct.astype(primal.dtype))
 
 

@@ -321,10 +321,15 @@ def test_pallas_fused_backward_matches_xla_grads():
         gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
         gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
         for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4,
-                err_msg=name,
-            )
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
+            if name == "dx":
+                # grouped dx scatter-matmuls run bf16 (native MXU precision)
+                rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+                assert rel < 2e-2, f"dx rel err {rel}"
+            else:
+                np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4,
+                                           err_msg=name)
     finally:
         dp._INTERPRET[0] = False
 
@@ -345,5 +350,46 @@ def test_pallas_grouped_kernel_small_interpret():
         ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
         out = dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+    finally:
+        dp._INTERPRET[0] = False
+
+
+@pytest.mark.slow
+def test_rowmajor_dx_split_backward_matches_xla_grads():
+    """kernel_bwd=True at a W=128 site routes dx through the input-owned
+    Pallas dx kernel (+ frozen-x XLA grads for offset/mask/weight/bias); all
+    five gradients must match the clamped XLA formulation's autodiff."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        h, w, cin, cout = 8, 128, 4, 4
+        assert dp._rowmajor_dx_ok(h, w, cin, cout)
+        assert not dp._grouped_bwd_ok(h, w, cin, cout)
+        x = rand((1, h, w, cin), 400)
+        offset = rand((1, h, w, 18), 401, 5.0)
+        mask = jax.nn.sigmoid(rand((1, h, w, 9), 402))
+        wgt = rand((3, 3, cin, cout), 403, 0.3)
+        bias = rand((cout,), 404)
+
+        def loss_kernel(x, o, m, wt, bb):
+            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bb, 1, 1, 1, 1, True) ** 2)
+
+        def loss_xla(x, o, m, wt, bb):
+            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bb) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
+            if name == "dx":
+                # the dx kernel's band dots run bf16 (the MXU's native
+                # default precision; hardware-measured rel err ~3e-3)
+                rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+                assert rel < 2e-2, f"dx rel err {rel}"
+            else:
+                np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4,
+                                           err_msg=name)
     finally:
         dp._INTERPRET[0] = False

@@ -63,12 +63,28 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--json", default="output/dcn_train_share.json")
+    ap.add_argument("--impls", default="conv,xla",
+                    help="comma list of dcn_impl variants to time")
     args = ap.parse_args()
 
     out = {}
-    for impl in ("conv", "xla"):
+    for impl in args.impls.split(","):
         out[impl] = time_train_step(impl, args.dtype, args.batch, args.iters)
         print(impl, json.dumps(out[impl]), flush=True)
+    if "conv" not in out or "xla" not in out:
+        out["batch"] = args.batch
+        out["dtype"] = args.dtype
+        if args.json:
+            os.makedirs(os.path.dirname(args.json), exist_ok=True)
+            prev = {}
+            if os.path.exists(args.json):
+                with open(args.json) as f:
+                    prev = json.load(f)
+            prev.update(out)
+            with open(args.json, "w") as f:
+                json.dump(prev, f, indent=1)
+            print("wrote", args.json)
+        return
     dcn_ms = out["xla"]["step_ms"] - out["conv"]["step_ms"]
     out["dcn_overhead_ms"] = round(dcn_ms, 2)
     out["dcn_share_of_step"] = round(dcn_ms / out["xla"]["step_ms"], 4)

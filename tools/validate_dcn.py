@@ -108,19 +108,32 @@ def site_check(offset_scale: float, seed: int = 0):
     return rows
 
 
+def bwd_path(hw: int, cin: int, cout: int) -> str:
+    """Which backward a site takes under dcn_impl=pallas_full."""
+    from centerpose_tpu.ops.dcn_pallas import _grouped_bwd_ok, _rowmajor_dx_ok
+
+    if _grouped_bwd_ok(hw, hw, cin, cout):
+        return "grouped"
+    if _rowmajor_dx_ok(hw, hw, cin, cout):
+        return "rowmajor_dx_split"
+    return "xla"
+
+
 def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
-    """On-chip check of the fused grouped backward (dcn_impl=pallas_full):
-    all five gradients vs XLA autodiff of the clamped formulation."""
+    """On-chip check of the fused backwards (dcn_impl=pallas_full): all five
+    gradients vs XLA autodiff of the clamped formulation, at every site that
+    takes a kernel backward (grouped or rowmajor-dx-split)."""
     import jax
     import jax.numpy as jnp
 
-    from centerpose_tpu.ops.dcn_pallas import _grouped_bwd_ok, dcn_v2_pallas
+    from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas
     from centerpose_tpu.ops.dcn import dcn_v2_patch
 
     rows = []
     rng = np.random.default_rng(seed)
     for cin, cout, hw in DLA34_DCN_SITES:
-        if not _grouped_bwd_ok(hw, hw, cin, cout):
+        path = bwd_path(hw, cin, cout)
+        if path == "xla":
             rows.append({"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": False})
             continue
         x = jnp.asarray(rng.normal(size=(batch, hw, hw, cin)).astype(np.float32))
@@ -146,13 +159,38 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
             x, off, mask, w, b)
         gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
             x, off, mask, w, b)
-        row = {"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": True}
+
+        # Knife-edge mask: when a sample coordinate sits within ~1e-5 of a
+        # grid line, floor() legitimately differs between the kernel and XLA
+        # (xla_allow_excess_precision reorders the f32 adds), selecting a
+        # different bilinear corner pair — both are valid subgradients of the
+        # discontinuity, but doffset then differs wildly at that one tap.
+        # Exclude those taps from the comparison (count them instead).
+        offn = np.asarray(off).reshape(batch, hw, hw, 9, 2)
+        ky = np.repeat(np.arange(3) - 1, 3).astype(np.float32)
+        kx = np.tile(np.arange(3) - 1, 3).astype(np.float32)
+        yy = np.arange(hw, dtype=np.float32)[None, :, None, None]
+        xx = np.arange(hw, dtype=np.float32)[None, None, :, None]
+        fy = yy + ky[None, None, None, :] + np.clip(offn[..., 0], -4.0, 4.0)
+        fx = xx + kx[None, None, None, :] + offn[..., 1]
+
+        def knife(v):
+            fr = v - np.floor(v)
+            return np.minimum(fr, 1.0 - fr) < 1e-5
+
+        edge = knife(fy) | knife(fx)  # [B, hw, hw, 9]
+        row = {"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": True,
+               "bwd_path": path, "knife_edge_taps": int(edge.sum())}
         for name, p, r in zip(("dx", "doffset", "dmask", "dweight", "dbias"),
                               gp, gx):
             p = np.asarray(p)
             r = np.asarray(r)
+            err = np.abs(p - r)
+            if name in ("doffset", "dmask"):
+                m = np.repeat(edge, 2, axis=-1) if name == "doffset" else edge
+                err = np.where(m, 0.0, err)
             denom = max(np.abs(r).max(), 1e-6)
-            row[f"rel_err_{name}"] = float(np.abs(p - r).max() / denom)
+            row[f"rel_err_{name}"] = float(err.max() / denom)
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows
@@ -207,6 +245,70 @@ def model_check(batch: int = 2, seed: int = 0):
             np.abs(a - b).max() / max(np.abs(a).max(), 1e-8)
         )
     return report
+
+
+def site_timing(batch: int = 8, iters: int = 20, seed: int = 0):
+    """Per-site isolated timings on hardware: Pallas vs XLA forward, and the
+    pallas_full backward vs XLA backward (VERDICT r2 missing #5 / item 8).
+
+    Sync note: trailing host readback is the only reliable fence on the
+    tunneled backend (see bench.py), so each timing loop ends with one
+    np.asarray of a small reduction of the result."""
+    import jax
+    import jax.numpy as jnp
+
+    from centerpose_tpu.ops.dcn import dcn_v2
+    from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas, pallas_supported
+
+    rows = []
+    rng = np.random.default_rng(seed)
+    for cin, cout, hw in DLA34_DCN_SITES:
+        x = jnp.asarray(rng.normal(size=(batch, hw, hw, cin)).astype(np.float32))
+        off = jnp.asarray((rng.normal(size=(batch, hw, hw, 18)) * 2.0)
+                          .astype(np.float32))
+        mask = jax.nn.sigmoid(jnp.asarray(
+            rng.normal(size=(batch, hw, hw, 9)).astype(np.float32)))
+        w = jnp.asarray((rng.normal(size=(3, 3, cin, cout))
+                         / np.sqrt(9 * cin)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+        def grad_sum(loss):
+            # reduce every gradient on-device: the tunneled backend's D2H is
+            # ~20-60 MB/s, so reading back full grads would dominate timing
+            g = jax.grad(loss, argnums=(0, 1, 2, 3))
+            return lambda *a: sum(gi.sum() for gi in g(*a))
+
+        fns = {
+            "fwd_xla": jax.jit(lambda x, o, m, w, b: dcn_v2(x, o, m, w, b).sum()),
+            "bwd_xla": jax.jit(grad_sum(
+                lambda x, o, m, w, b: (dcn_v2(x, o, m, w, b) ** 2).sum())),
+        }
+        if pallas_supported(hw, hw, cin, cout):
+            fns["fwd_pallas"] = jax.jit(
+                lambda x, o, m, w, b: dcn_v2_pallas(x, o, m, w, b).sum())
+        if bwd_path(hw, cin, cout) != "xla":
+            fns["bwd_pallas_full"] = jax.jit(grad_sum(
+                lambda x, o, m, w, b:
+                (dcn_v2_pallas(x, o, m, w, b, 1, 1, 1, 1, True) ** 2).sum()))
+
+        row = {"site": f"{cin}->{cout} @{hw}x{hw}", "batch": batch,
+               "bwd_path": bwd_path(hw, cin, cout)}
+        for name, fn in fns.items():
+            out = fn(x, off, mask, w, b)
+            np.asarray(out)  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(x, off, mask, w, b)
+            np.asarray(out)
+            row[f"{name}_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 3)
+        if "fwd_pallas" in fns:
+            row["fwd_speedup"] = round(row["fwd_xla_ms"] / row["fwd_pallas_ms"], 2)
+        if "bwd_pallas_full" in fns:
+            row["bwd_speedup"] = round(
+                row["bwd_xla_ms"] / row["bwd_pallas_full_ms"], 2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
 
 
 def timing(batch: int, iters: int = 20):
@@ -286,7 +388,8 @@ def main():
     out["model"] = model_check()
     print("dla_34 full-model pallas-vs-xla rel err per head:", json.dumps(out["model"]), flush=True)
     if not args.skip_timing:
-        out["timing"] = timing(args.batch)
+        out["timing"] = site_timing(args.batch)
+        out["model_timing"] = timing(args.batch)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
