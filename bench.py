@@ -27,8 +27,10 @@ import numpy as np
 BASELINE_FPS = 23.0  # reference DLA-34 batch-1 GPU FPS (BASELINE.md)
 
 # Fast path (validated in output/dcn_validation.json on real hardware);
-# override via env for A/B runs.
-DCN_IMPL = os.environ.get("BENCH_DCN_IMPL", "pallas")
+# override via env for A/B runs.  pallas_full = fused forward + kernel
+# backwards (grouped / dx-split), the fastest validated train variant
+# (output/dcn_train_share.json).
+DCN_IMPL = os.environ.get("BENCH_DCN_IMPL", "pallas_full")
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 

@@ -48,107 +48,99 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, b_ref, o_ref, cols_ref,
-                xs_ref, dma_sem, *, h, w, cin, cout, max_dy):
-    """One grid step: 8 output rows of one batch element.
+def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
+                dma_sem, *, h, w, cin, cout, max_dy):
+    """One grid step: 8 output rows of one batch element, gather-as-matmul.
+
+    Instead of per-channel lane gathers (the round-2 kernel: a cin x 9 x 12
+    scan of ``take_along_axis`` vregs — VPU-bound, MXU idle), the bilinear
+    sample IS the matmul: per (tap k, y-band d), a transposed one-hot matrix
+    ``A[src, pix]`` carries each output pixel's bilinear-x corner weights
+    (src index on the sublane axis — the lane-major form forces a relayout
+    per band, measured 5x slower), and the weight contraction is folded in
+    front:  out += (W_k^T x) . A  — so every FLOP of both the gather and the
+    conv contraction rides the MXU.
 
     Refs:
       off_ref  [1, 8, 2K, W]  (dy, dx interleaved per tap, pre-transposed)
       mask_ref [1, 8, K, W]   (sigmoid-ed modulation)
-      x_hbm    [B, Hpad, C, W] zero-padded input, left in HBM (`ANY`); the
-               8+2*pad source rows a block can touch are DMA'd into xs_ref
-               per grid step.  (Whole-image VMEM residency overflowed the
-               16 MiB scoped cap at W=128 once embedded in the full DLA-34
-               graph — measured 17.91M vs 16M on v5e.)
-      w_ref    [K*C, Cout]
-      b_ref    [1, Cout]
-      o_ref    [1, 8, W, Cout]
-      cols_ref [8, K*C, W] scratch (im2col buffer)
-      xs_ref   [8 + 2*pad, C, W] scratch (per-block source-row slab)
-      dma_sem  DMA semaphore for the slab copy
+      x_hbm    [B, H + 2*PAD, C8, W] zero-padded input, left in HBM (`ANY`);
+               each grid step DMAs the 24 source rows its y-band can touch.
+      w_ref    [K*Cout, Cin]  (projection layout: z = w_ref @ x)
+      o_ref    [1, 8, Cout, W] channel-second output (bias + transpose to
+               NHWC happen in XLA, fused into the consumer)
+      z_ref    [24, K*Cout, W] scratch: tap-projected slab rows (bf16)
+      xs_ref   [24, C8, W] scratch (source-row slab)
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)  # output row-block index
     f32 = jnp.float32
-    pad = max_dy + 2  # zero rows added above/below the true image
-    n_cand = 2 * max_dy + 4  # candidate input rows per tap per block
+    PAD = 8
+    SLAB = 24
 
-    # Fetch this block's slab of source rows [i*8, i*8 + 8 + 2*pad).
+    # Fetch this block's slab of source rows [i*8 - 8, i*8 + 16) (unpadded).
     slab = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * 8, 8 + 2 * pad)], xs_ref, dma_sem
+        x_hbm.at[bi, pl.ds(i * 8, SLAB)], xs_ref, dma_sem
     )
     slab.start()
     slab.wait()
 
-    # tpu.iota only produces integer vectors; build the f32 ramp via convert.
     lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
+    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)  # src on sublanes
 
-    # Per-tap gather indices and combined (bilinear-x * mask * bilinear-y)
-    # weights, precomputed once per block and reused for every channel.
-    tap_xi0 = []
-    tap_xi1 = []
-    tap_a = []  # per (k, j): (A0, A1) lane weights
+    # Tap-projected activations for every slab row: z[j] = W^T x[j] on the
+    # MXU ([K*Cout, Cin] @ [Cin, W]), stored bf16 for the band dots.
+    for j in range(SLAB):
+        zj = lax.dot_general(
+            w_ref[...], xs_ref[j][:cin].astype(f32),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        z_ref[j] = zj.astype(z_ref.dtype)
+
+    o_ref[...] = jnp.zeros_like(o_ref)
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
-        dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32), -max_dy, max_dy)
-        dx = off_ref[0, :, 2 * k + 1, :].astype(f32)
-        mk = mask_ref[0, :, k, :].astype(f32)
 
-        sx = lane_x + kx + dx
-        x0 = jnp.floor(sx)
-        wx1 = sx - x0
-        wx0 = 1.0 - wx1
-        v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
-        v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
-        xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-        xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
-        tap_xi0.append(xi0)
-        tap_xi1.append(xi1)
+        # y-band loop MUST be a fori_loop (static unrolls stack-OOM on the
+        # per-band [8, W, W] one-hot temporaries; see the dx kernel).
+        def d_body(di, _, *, ky=ky, kx=kx, k=k):
+            d = di + (ky - max_dy)  # source-row offset band
+            dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32),
+                          -max_dy, max_dy)
+            dxo = off_ref[0, :, 2 * k + 1, :].astype(f32)
+            mk = mask_ref[0, :, k, :].astype(f32)
 
-        # y: sample row = (i*8 + s) + ky + dy.  Candidate window j holds
-        # padded rows i*8 + j + s, i.e. unpadded rows (i*8 + s) + (j - pad):
-        # the row-in-block s cancels, so the match condition is purely
-        # ky + floor(dy) + pad == j (y0 corner) or == j - 1 (y1 corner).
-        fy = ky + dy
-        y0f = jnp.floor(fy)
-        wy1 = fy - y0f
-        wy0 = 1.0 - wy1
-        y0p = y0f + pad
-        a_kj = []
-        for j in range(n_cand):
-            ym = (y0p == j).astype(f32) * wy0 + (y0p == j - 1).astype(f32) * wy1
-            wa = ym * mk
-            a_kj.append((wa * wx0 * v0, wa * wx1 * v1))
-        tap_a.append(a_kj)
+            sx = lane_x + kx + dxo
+            x0 = jnp.floor(sx)
+            wx1 = sx - x0
+            wx0 = 1.0 - wx1
+            v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+            v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+            xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+            xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
 
-    # Accumulate im2col columns: loop channels dynamically, taps/windows
-    # statically.  Gather source vreg j = x_ref rows [i*8 + j, i*8 + j + 8).
-    def per_channel(c, _):
-        for k in range(9):
-            acc = jnp.zeros((8, w), f32)
-            xi0b = tap_xi0[k]
-            xi1b = tap_xi1[k]
-            for j in range(n_cand):
-                src = xs_ref[pl.ds(j, 8), c, :].astype(f32)
-                g0 = jnp.take_along_axis(src, xi0b, axis=1)
-                g1 = jnp.take_along_axis(src, xi1b, axis=1)
-                a0, a1 = tap_a[k][j]
-                acc = acc + g0 * a0 + g1 * a1
-            cols_ref[:, k * cin + c, :] = acc
-        return 0
+            fy = ky + dy
+            y0f = jnp.floor(fy)
+            wy1 = fy - y0f
+            df = d.astype(f32)
+            wy_d = ((y0f == df).astype(f32) * (1.0 - wy1)
+                    + (y0f == df - 1.0).astype(f32) * wy1)
+            w0 = wy_d * mk * wx0 * v0
+            w1 = wy_d * mk * wx1 * v1
+            at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
+                  + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
+                  ).astype(z_ref.dtype)
 
-    lax.fori_loop(0, cin, per_channel, 0)
+            # source rows t + d live at slab index s + d + PAD
+            z_rows = z_ref[pl.ds(PAD + d, 8), k * cout:(k + 1) * cout, :]
+            contrib = lax.dot_general(
+                z_rows, at, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [8, Cout, W(pix)]
+            o_ref[0] = o_ref[0] + contrib
+            return 0
 
-    # Contract on the MXU: per output row s, [W, K*C] x [K*C, Cout].
-    wmat = w_ref[:]
-    bias = b_ref[0, :]
-    for s in range(8):
-        cols_s = cols_ref[s]  # [K*C, W]
-        out_s = lax.dot_general(
-            cols_s, wmat, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # [W, Cout]
-        o_ref[0, s] = out_s + bias[None, :]
+        lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
 
 
 def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
@@ -157,24 +149,24 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
     b, h, w, cin = x.shape
     kh, kw, wcin, cout = weight.shape
     assert (kh, kw) == (3, 3) and wcin == cin
-    assert w <= 128, f"lane-gather needs W<=128, got {w}"
+    assert w <= 128, f"lane one-hot needs W<=128, got {w}"
     assert h % 8 == 0, f"H must be a multiple of 8, got {h}"
     k = kh * kw
-    pad = max_dy + 2
+    PAD = 8
 
-    # [B,H,W,C] -> [B, Hpad, C, W] zero-padded (zero rows give the CUDA
-    # kernel's zero-outside-image bilinear semantics in y for free).
-    # (bf16 VMEM storage was tried and reverted: Mosaic cannot lower
-    # extent-1 channel reads of (16,128)-packed bf16 tiles.)
+    # [B,H,W,C] -> [B, Hpad, C8, W] zero-padded; 8 rows of y padding give the
+    # CUDA kernel's zero-outside-image bilinear semantics for free, channel
+    # pad to a sublane multiple keeps the slab DMA aligned (unaligned
+    # second-minor DMA extents fault the TPU worker).
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
-    xt = jnp.pad(xt, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    xt = jnp.pad(xt, ((0, 0), (PAD, PAD), (0, _roundup(cin, 8) - cin),
+                      (0, 0)))
     # offsets/mask -> channel-second layout so per-tap slices are [8, W] vregs
     offt = jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32)
     maskt = jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32)
-    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
-    bvec = (bias if bias is not None else jnp.zeros((cout,))).astype(
-        jnp.float32
-    ).reshape(1, cout)
+    # projection layout: [K*Cout, Cin]
+    wmat = jnp.transpose(weight, (0, 1, 3, 2)).reshape(
+        k * cout, cin).astype(jnp.float32)
 
     grid = (b, h // 8)
     out = pl.pallas_call(
@@ -188,62 +180,85 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
             pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; slab DMA
-            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+            pl.BlockSpec((k * cout, cin), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, w, cout), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, cout, w), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, cout, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, k * cin, w), jnp.float32),
-            pltpu.VMEM((8 + 2 * pad, cin, w), jnp.float32),
+            pltpu.VMEM((24, k * cout, w), jnp.bfloat16),
+            pltpu.VMEM((24, _roundup(cin, 8), w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_INTERPRET[0],
-    )(offt, maskt, xt, wmat, bvec)
+    )(offt, maskt, xt, wmat)
+    out = jnp.transpose(out, (0, 1, 3, 2))  # [B, H, W, Cout]
+    if bias is not None:
+        out = out + bias
     return out.astype(x.dtype)
 
 
-def _dcn_grouped_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref,
-                        cols_ref, *, grp, w, cin, cout, br, max_dy):
-    """Row-grouped variant for narrow feature maps (W in {16, 32, 64}).
+def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
+                        z_ref, xs_ref, dma_sem, *, grp, w, cin, cout, br,
+                        max_dy):
+    """Row-grouped variant for narrow feature maps (W in {16, 32, 64}),
+    gather-as-matmul.
 
     Lanes hold ``grp = 128 // W`` consecutive image rows (lane l = g*W + x),
-    so VMEM buffers use all 128 lanes instead of padding W up to 128 — the
-    padding that blows the 16 MiB scoped-VMEM cap at the deep DLA sites —
-    and every MXU dot gets 128 result rows.  The y offset becomes part of
-    the *lane* index (source row g+dy maps to lane (g+dy-m*grp)*W + x of
-    slab m), so only ceil-range slabs m in [m_lo, m_hi] need scanning
-    instead of 2*max_dy+4 candidate rows.
+    so buffers use all 128 lanes instead of padding W up to 128, and the y
+    offset becomes part of the *lane* index (source row g+dy maps to lane
+    (g+dy-m*grp)*W + x of slab m) — only slabs m in [m_lo, m_hi] contribute.
+    As in the row-major kernel, the bilinear gather IS the matmul: per
+    (tap k, slab m), a transposed one-hot ``A[src_lane, pix_lane]`` carries
+    the corner weights, and out += (W_k^T x) . A rides the MXU.
 
     Refs:
       off_ref  [1, BR, 2K, 128]   row-grouped offsets
       mask_ref [1, BR, K, 128]
-      x_ref    [1, Hg + 2*pad_g, C, 128]  zero-padded grouped input (whole
-               image resident across the row-group grid)
-      w_ref    [K*C, Cout]
-      b_ref    [1, Cout]
-      o_ref    [1, BR, 128, Cout]
-      cols_ref [BR, C, 128] scratch (single-tap im2col buffer)
+      x_hbm    [B, Hg + 2*PAD, C8, 128] zero-padded grouped input (`ANY`;
+               24-row slab DMA per grid step)
+      w_ref    [K*Cout, Cin]  (projection layout)
+      o_ref    [1, BR, Cout, 128] channel-second grouped output
+      z_ref    [24, Cout, 128] scratch: one tap's projected slab rows (bf16)
+      xs_ref   [24, C8, 128] scratch
     """
-    import math
-
+    bi = pl.program_id(0)
     i = pl.program_id(1)
     f32 = jnp.float32
+    PAD = 8
+    SLAB = 24
     # max |row shift|: |ky| + max_dy for the y0 corner, +1 for the y1 corner
     shift = max_dy + 1
-    pad_g = math.ceil((shift + 1) / grp)  # zero row-groups above/below
-    m_lo = math.floor(-shift / grp)
-    m_hi = math.floor((grp - 1 + shift + 1) / grp)
+    m_lo = -(shift // grp + 1)
+    m_hi = (grp - 1 + shift + 1) // grp
+
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * br, SLAB)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
 
     lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
     lane_g = (lane // w).astype(f32)
     lane_x = (lane % w).astype(f32)
+    iota_sub = lax.broadcasted_iota(jnp.int32, (br, 128, 128), 1)
 
+    o_ref[...] = jnp.zeros_like(o_ref)
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
+
+        # tap-projected slab rows: z[j] = W_k^T x[j] on the MXU (bf16 in,
+        # f32 accumulate — w_ref is stored bf16 to fit the 512-cin site)
+        wk = w_ref[k * cout:(k + 1) * cout, :]
+        for j in range(SLAB):
+            zj = lax.dot_general(
+                wk, xs_ref[j][:cin].astype(w_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            z_ref[j] = zj.astype(z_ref.dtype)
+
         dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32), -max_dy, max_dy)
         dx = off_ref[0, :, 2 * k + 1, :].astype(f32)
         mk = mask_ref[0, :, k, :].astype(f32)
@@ -262,42 +277,32 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_ref, w_ref, b_ref, o_ref,
         wy1 = fy - y0f
         wy0 = 1.0 - wy1
 
-        # per (slab m, y-corner c): membership, within-slab lane indices,
-        # combined weights — precomputed once per block, reused per channel
-        slabs = []
-        for m in range(m_lo, m_hi + 1):
-            for c, wyc in ((0, wy0), (1, wy1)):
-                gp = lane_g + y0f + c  # source local row (may cross groups)
-                mu = (jnp.floor(gp / grp) == m).astype(f32)
-                gl = (gp - m * grp).astype(jnp.int32)
-                gl = jnp.clip(gl, 0, grp - 1)
+        # slab loop as fori (static unrolls stack-OOM on the [br, 128, 128]
+        # one-hot temporaries); both y-corners fold into one A per slab
+        def m_body(mi, _, *, k=k):
+            m = mi + m_lo
+            mf = m.astype(f32)
+            at = jnp.zeros((br, 128, 128), f32)
+            for cy, wyc in ((0, wy0), (1, wy1)):
+                gp = lane_g + y0f + cy
+                mu = (jnp.floor(gp / grp) == mf).astype(f32)
+                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
                 li0 = gl * w + xi0
                 li1 = gl * w + xi1
-                a0 = mu * wyc * mk * wx0 * v0
-                a1 = mu * wyc * mk * wx1 * v1
-                slabs.append((m, li0, li1, a0, a1))
-
-        def per_channel(c, _):
-            acc = jnp.zeros((br, 128), f32)
-            for m, li0, li1, a0, a1 in slabs:
-                src = x_ref[0, pl.ds(i * br + m + pad_g, br), c, :].astype(f32)
-                acc = acc + jnp.take_along_axis(src, li0, axis=1) * a0
-                acc = acc + jnp.take_along_axis(src, li1, axis=1) * a1
-            cols_ref[:, c, :] = acc
+                w0 = mu * wyc * mk * wx0 * v0
+                w1 = mu * wyc * mk * wx1 * v1
+                at = (at
+                      + w0[:, None, :] * (li0[:, None, :] == iota_sub).astype(f32)
+                      + w1[:, None, :] * (li1[:, None, :] == iota_sub).astype(f32))
+            z_rows = z_ref[pl.ds(PAD + m, br), :, :]  # [br, Cout, 128src]
+            contrib = lax.dot_general(
+                z_rows, at.astype(z_ref.dtype), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [br, Cout, 128pix]
+            o_ref[0] = o_ref[0] + contrib
             return 0
 
-        lax.fori_loop(0, cin, per_channel, 0)
-
-        wk = w_ref[k * cin:(k + 1) * cin, :]
-        for s in range(br):
-            part = lax.dot_general(
-                cols_ref[s], wk, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [128, Cout]
-            if k == 0:
-                o_ref[0, s] = part + b_ref[0, :][None, :]
-            else:
-                o_ref[0, s] = o_ref[0, s] + part
+        lax.fori_loop(0, m_hi - m_lo + 1, m_body, 0)
 
 
 def _group_rows(t: jnp.ndarray, grp: int) -> jnp.ndarray:
@@ -310,30 +315,30 @@ def _group_rows(t: jnp.ndarray, grp: int) -> jnp.ndarray:
 
 def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
     """Row-grouped forward for W in {16, 32, 64} (see _dcn_grouped_kernel)."""
-    import math
-
     b, h, w, cin = x.shape
     kh, kw, wcin, cout = weight.shape
     grp = 128 // w
     hg = h // grp
     br = min(8, hg)
     k = kh * kw
-    shift = max_dy + 1
-    pad_g = math.ceil((shift + 1) / grp)
+    PAD = 8
 
+    # pad: PAD group-rows on top, enough on the bottom that the last block's
+    # fixed 24-row slab DMA stays in bounds ((i_max*br + 24) <= padded len)
+    bot = 16 - br
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)  # [B,H,C,W]
-    xt = jnp.pad(xt, ((0, 0), (pad_g * grp, pad_g * grp), (0, 0), (0, 0)))
-    xg = _group_rows(xt, grp)  # [B, Hg + 2*pad_g, C, 128]
+    xt = jnp.pad(xt, ((0, 0), (PAD * grp, bot * grp),
+                      (0, _roundup(cin, 8) - cin), (0, 0)))
+    xg = _group_rows(xt, grp)  # [B, Hg + PAD + bot, C8, 128]
     offg = _group_rows(
         jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32), grp
     )
     maskg = _group_rows(
         jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32), grp
     )
-    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
-    bvec = (bias if bias is not None else jnp.zeros((cout,))).astype(
-        jnp.float32
-    ).reshape(1, cout)
+    # projection layout: [K*Cout, Cin], stored bf16 (the z dots run bf16)
+    wmat = jnp.transpose(weight, (0, 1, 3, 2)).reshape(
+        k * cout, cin).astype(jnp.bfloat16)
 
     grid = (b, hg // br)
     out = pl.pallas_call(
@@ -347,22 +352,26 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, br, k, 128), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg + 2 * pad_g, cin, 128),
-                         lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; slab DMA
+            pl.BlockSpec((k * cout, cin), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, br, 128, cout), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, br, cout, 128), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hg, 128, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((br, cin, 128), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, hg, cout, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((24, cout, 128), jnp.bfloat16),
+            pltpu.VMEM((24, _roundup(cin, 8), 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=_INTERPRET[0],
-    )(offg, maskg, xg, wmat, bvec)
-    # [B, Hg, 128, Cout] -> [B, Hg, grp, W, Cout] -> [B, H, W, Cout]
-    out = out.reshape(b, hg, grp, w, cout).reshape(b, h, w, cout)
+    )(offg, maskg, xg, wmat)
+    # [B, Hg, Cout, 128] -> [B, Hg, grp, W, Cout] -> [B, H, W, Cout]
+    out = jnp.transpose(
+        out.reshape(b, hg, cout, grp, w), (0, 1, 3, 4, 2)
+    ).reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias
     return out.astype(x.dtype)
 
 
@@ -799,41 +808,41 @@ def _roundup(v: int, m: int) -> int:
 
 
 def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
-    """Estimate the row-major kernel's scoped VMEM footprint (f32,
-    (8,128)-tiled).  Intentionally H-independent (x stays in HBM; only the
-    fixed-size slab counts) — ``h`` is kept for call-site symmetry with
+    """Estimate the row-major kernel's scoped VMEM footprint ((8,128)-tiled).
+    Intentionally H-independent (x stays in HBM; only the fixed-size slab
+    counts) — ``h`` is kept for call-site symmetry with
     ``grouped_vmem_bytes``.
 
     TPU VMEM buffers tile the trailing two dims to (8 sublanes, 128 lanes),
     so a W=16 feature map still occupies 128 lanes — this padding is what
     blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256); those route
-    to the row-grouped variant instead.  x itself stays in HBM (slab DMA per
-    block), so only the 8+2*pad-row slab scratch counts here.  Pipelined
-    (grid-varying) blocks are double-buffered by Pallas — count them twice."""
-    pad = max_dy + 2
-    x_slab = _roundup(8 + 2 * pad, 8) * cin * _roundup(w, 128)
-    cols = 8 * _roundup(9 * cin, 8) * _roundup(w, 128)
-    wmat = _roundup(9 * cin, 8) * _roundup(cout, 128)
-    out_blk = 2 * 8 * _roundup(w, 8) * _roundup(cout, 128)
-    offs = 2 * (8 * _roundup(18, 8) * _roundup(w, 128)
-                + 8 * _roundup(9, 8) * _roundup(w, 128))
-    return 4 * (x_slab + cols + wmat + out_blk + offs)
+    to the row-grouped variant instead.  Pipelined (grid-varying) blocks are
+    double-buffered by Pallas — count them twice."""
+    x_slab = 4 * 24 * _roundup(cin, 8) * _roundup(w, 128)
+    z_buf = 2 * 24 * _roundup(9 * cout, 8) * _roundup(w, 128)  # bf16
+    wmat = 4 * _roundup(9 * cout, 8) * _roundup(cin, 128)
+    out_blk = 2 * 4 * 8 * _roundup(cout, 8) * _roundup(w, 128)
+    offs = 2 * 4 * (8 * _roundup(18, 8) * _roundup(w, 128)
+                    + 8 * _roundup(9, 8) * _roundup(w, 128))
+    a_buf = 4 * 8 * _roundup(w, 8) * _roundup(w, 128)
+    return x_slab + z_buf + wmat + out_blk + offs + a_buf
 
 
 def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
-    """Scoped VMEM estimate for the row-grouped kernel variant."""
-    import math
+    """Scoped VMEM estimate for the row-grouped kernel variant.
 
+    Since the gather-as-matmul rewrite, x lives in HBM with a fixed 24-row
+    slab DMA per block, so the estimate is Hg-independent."""
     grp = 128 // w
     hg = h // grp
     br = min(8, hg)
-    pad_g = math.ceil((max_dy + 2) / grp)
-    x_blk = _roundup(hg + 2 * pad_g, 8) * _roundup(cin, 8) * 128
-    cols = br * _roundup(cin, 8) * 128
-    wmat = _roundup(9 * cin, 8) * _roundup(cout, 128)
-    out_blk = br * 128 * _roundup(cout, 128)
-    offs = br * (_roundup(18, 8) + _roundup(9, 8)) * 128
-    return 4 * (x_blk + cols + wmat + out_blk + offs)
+    xs = 4 * 24 * _roundup(cin, 8) * 128
+    z_buf = 2 * 24 * _roundup(cout, 8) * 128
+    wmat = 2 * _roundup(9 * cout, 8) * _roundup(cin, 128)
+    out_blk = 2 * 4 * br * _roundup(cout, 8) * 128
+    offs = 2 * 4 * br * (_roundup(18, 8) + _roundup(9, 8)) * 128
+    a_buf = 4 * br * 128 * 128
+    return xs + z_buf + wmat + out_blk + offs + a_buf
 
 
 def _rowmajor_ok(h: int, w: int, cin: int, cout: int) -> bool:
@@ -861,8 +870,10 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
     W=128 is excluded: measured on v5e, the 64->64 @128x128 backward needs
     28.5M scoped VMEM (the f32 dx accumulator + fwd-recompute buffers for a
-    whole 128-row image) against the 16M cap; that site's backward runs via
-    the XLA formulation instead."""
+    whole 128-row image) against the 16M cap; that site's backward runs the
+    split dx-kernel path instead.  Estimate mirrors the bwd kernel's own
+    buffers (whole grouped image + dx accumulator resident, unlike the
+    slab-DMA forward)."""
     if w not in (16, 32, 64) or 128 % w:
         return False
     grp = 128 // w
@@ -872,16 +883,22 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
     br = min(8, hg)
     if hg % br:
         return False
-    # bwd adds the resident dx accumulator + a second scratch + ct block
-    extra = grouped_vmem_bytes(h, w, cin, cout)  # fwd-style buffers
     import math
 
     pad_g = math.ceil(6 / grp)
-    dx_buf = 4 * _roundup(hg + 2 * pad_g, 8) * _roundup(cin, 8) * 128
-    dcols = 4 * br * _roundup(cin, 8) * 128
-    ct_blk = 4 * br * 128 * _roundup(cout, 128)
-    dw_buf = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)
-    return extra + dx_buf + dcols + ct_blk + dw_buf <= _VMEM_LIMIT
+    hpad = _roundup(hg + 2 * pad_g, 8)
+    # x/dx block indices only change across the (outer, slow) batch grid
+    # dim, so they are not double-buffered per step (calibrated: the
+    # 128ch @64x64 backward compiles and runs on v5e at ~12M estimated)
+    x_blk = 4 * hpad * _roundup(cin, 8) * 128
+    dx_buf = 4 * hpad * _roundup(cin, 8) * 128
+    cols = 2 * 4 * br * _roundup(cin, 8) * 128  # cols + dcols scratch
+    ct_blk = 2 * 4 * br * 128 * _roundup(cout, 128)
+    doffm = 2 * 4 * br * (_roundup(18, 8) + 2 * _roundup(9, 8)) * 128
+    w_bufs = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128) * 2  # w + dw
+    a_buf = 4 * br * 128 * 128
+    return (x_blk + dx_buf + cols + ct_blk + doffm + w_bufs
+            + a_buf) <= _VMEM_LIMIT
 
 
 def pallas_supported(

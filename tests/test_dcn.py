@@ -213,9 +213,12 @@ def test_pallas_kernel_matches_reference_interpret():
             bias = rand((cout,), 110 + seed)
             ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
             out = dp.dcn_v2_pallas(x, offset, mask, wgt, bias)
-            np.testing.assert_allclose(
-                np.asarray(ref), np.asarray(out), atol=1e-4
-            )
+            ref = np.asarray(ref)
+            out = np.asarray(out)
+            # row-major fwd runs its z/A matmuls in bf16 (native MXU
+            # precision); grouped fwd is f32-exact — one tolerance for both
+            rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+            assert rel < 1e-2, f"fwd rel err {rel} at {(h, w, cin, cout)}"
     finally:
         dp._INTERPRET[0] = False
 
@@ -232,15 +235,17 @@ def test_pallas_vjp_matches_xla_grads():
         wgt = rand((3, 3, cin, cout), 123, 0.3)
         bias = jnp.zeros((cout,))
 
-        def loss_pallas(x, o, m, wt):
-            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bias) ** 2)
-
-        def loss_xla(x, o, m, wt):
-            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bias) ** 2)
-
-        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, offset, mask, wgt)
-        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, offset, mask, wgt)
-        for a, b_ in zip(gp, gx):
+        # explicit vjp with a FIXED cotangent: the bf16 forward's output
+        # differs from the f32 XLA forward at ~1e-3, so grad-of-loss would
+        # compare (identical XLA) backwards at different cotangents
+        _, vjp_p = jax.vjp(
+            lambda x, o, m, wt: dp.dcn_v2_pallas(x, o, m, wt, bias),
+            x, offset, mask, wgt)
+        _, vjp_x = jax.vjp(
+            lambda x, o, m, wt: dcn_v2(x, _clamp_y(o), m, wt, bias),
+            x, offset, mask, wgt)
+        ct = rand((b, h, w, cout), 124)
+        for a, b_ in zip(vjp_p(ct), vjp_x(ct)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3
             )
@@ -264,11 +269,12 @@ def test_pallas_grouped_kernel_matches_reference_interpret():
             mask = jax.nn.sigmoid(rand((2, hw, hw, 9), 150 + seed))
             wgt = rand((3, 3, cin, cout), 160 + seed, 0.3)
             bias = rand((cout,), 170 + seed)
-            ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
-            out = dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4)
-            np.testing.assert_allclose(
-                np.asarray(ref), np.asarray(out), atol=1e-4
-            )
+            ref = np.asarray(dcn_v2(x, _clamp_y(offset), mask, wgt, bias))
+            out = np.asarray(
+                dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4))
+            # grouped fwd z/A matmuls run bf16 (native MXU precision)
+            rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+            assert rel < 1e-2, f"grouped fwd rel err {rel} at {(hw, cin, cout)}"
     finally:
         dp._INTERPRET[0] = False
 
@@ -312,24 +318,22 @@ def test_pallas_fused_backward_matches_xla_grads():
         wgt = rand((3, 3, cin, cout), 203, 0.3)
         bias = rand((cout,), 204)
 
-        def loss_kernel(x, o, m, wt, bb):
-            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bb, 1, 1, 1, 1, True) ** 2)
-
-        def loss_xla(x, o, m, wt, bb):
-            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bb) ** 2)
-
-        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
-        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        # fixed cotangent (see test_pallas_vjp_matches_xla_grads)
+        _, vjp_k = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
+            x, offset, mask, wgt, bias)
+        _, vjp_x = jax.vjp(
+            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o), m, wt, bb),
+            x, offset, mask, wgt, bias)
+        ct = rand((1, hw, hw, cout), 205)
+        gk = vjp_k(ct)
+        gx = vjp_x(ct)
         for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
             a = np.asarray(a)
             b_ = np.asarray(b_)
-            if name == "dx":
-                # grouped dx scatter-matmuls run bf16 (native MXU precision)
-                rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
-                assert rel < 2e-2, f"dx rel err {rel}"
-            else:
-                np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4,
-                                           err_msg=name)
+            # grouped bwd dcols/dx matmuls run bf16 (native MXU precision)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 2e-2, f"{name} rel err {rel}"
     finally:
         dp._INTERPRET[0] = False
 
@@ -347,9 +351,11 @@ def test_pallas_grouped_kernel_small_interpret():
         mask = jax.nn.sigmoid(rand((1, hw, hw, 9), 302))
         wgt = rand((3, 3, cin, cout), 303, 0.3)
         bias = rand((cout,), 304)
-        ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
-        out = dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+        ref = np.asarray(dcn_v2(x, _clamp_y(offset), mask, wgt, bias))
+        out = np.asarray(
+            dp._dcn_pallas_grouped_impl(x, offset, mask, wgt, bias, max_dy=4))
+        rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 1e-2, f"grouped fwd rel err {rel}"
     finally:
         dp._INTERPRET[0] = False
 
@@ -372,14 +378,18 @@ def test_rowmajor_dx_split_backward_matches_xla_grads():
         wgt = rand((3, 3, cin, cout), 403, 0.3)
         bias = rand((cout,), 404)
 
-        def loss_kernel(x, o, m, wt, bb):
-            return jnp.sum(dp.dcn_v2_pallas(x, o, m, wt, bb, 1, 1, 1, 1, True) ** 2)
-
-        def loss_xla(x, o, m, wt, bb):
-            return jnp.sum(dcn_v2(x, _clamp_y(o), m, wt, bb) ** 2)
-
-        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
-        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, offset, mask, wgt, bias)
+        # explicit vjp with a FIXED cotangent: the bf16 forward's output
+        # differs from the f32 XLA forward at ~1e-3, so grad-of-loss would
+        # compare gradients at different cotangents
+        _, vjp_k = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
+            x, offset, mask, wgt, bias)
+        _, vjp_x = jax.vjp(
+            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o), m, wt, bb),
+            x, offset, mask, wgt, bias)
+        ct = rand((1, h, w, cout), 405)
+        gk = vjp_k(ct)
+        gx = vjp_x(ct)
         for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
             a = np.asarray(a)
             b_ = np.asarray(b_)
