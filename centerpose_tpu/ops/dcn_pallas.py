@@ -785,6 +785,202 @@ def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
     return jnp.transpose(dx, (0, 1, 3, 2))  # [B, H, W, Cin]
 
 
+def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
+                               doff_ref, dmask_ref, dw_ref,
+                               xs_ref, dcols_ref, cols_ref, dma_sem,
+                               *, w, cin, cout, max_dy):
+    """Output-owned pass for doffset/dmask/dW at W=128 sites ("pass A" of
+    the split backward; dx is pass B in ``_dcn_rowmajor_dx_kernel``).
+
+    All three gradients reduce to MXU work through two shared matrices per
+    (tap, y-band): with M = wx0*v0*onehot(xi0) + wx1*v1*onehot(xi1) (the
+    unmodulated x-interpolation) and D = v1*onehot(xi1) - v0*onehot(xi0)
+    (its d/dx), every A-variant is a per-column scaling:
+
+      samples_M = x . M,  samples_D = x . D          (batched band dots)
+      r_M = sum_c dcols * samples_M,  r_D likewise   (channel reduce)
+      dmask += wy_d * r_M          (y-interp weight)
+      ddy   += ((y0f==d-1) - (y0f==d)) * mk * r_M    (same r_M!)
+      ddx   += wy_d * mk * r_D
+      cols  += (wy_d * mk) * samples_M               (for dW, no extra dot)
+      dW_k  += cols_s . ct_s^T                       (after the band loop)
+
+    Refs: off/mask blocks as the fwd kernel; x_hbm [B, H+2*PAD, C8, W] slab
+    DMA; ct_ref [1, 8, Cout, W] channel-second cotangent block; w_ref
+    [K*Cin, Cout]; dw_ref accumulates across the grid (constant-index
+    block); dcols_ref [8, Cin, W] bf16; cols_ref [8, Cin, W] f32 scratch.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    PAD = 8
+    SLAB = 24
+
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * 8, SLAB)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _zero_dw():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
+    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)
+
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+
+        # dcols_k[s] = W_k @ ct[s] on the MXU
+        wk = w_ref[k * cin:(k + 1) * cin, :]
+        for s in range(8):
+            d_ = lax.dot_general(
+                wk, ct_ref[0, s].astype(f32), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [Cin, W]
+            dcols_ref[s] = d_.astype(bf16)
+
+        cols_ref[...] = jnp.zeros_like(cols_ref)
+
+        dy_raw = off_ref[0, :, 2 * k, :].astype(f32)
+        dy = jnp.clip(dy_raw, -max_dy, max_dy)
+        clamp_pass = ((dy_raw >= -max_dy) & (dy_raw <= max_dy)).astype(f32)
+        dxo = off_ref[0, :, 2 * k + 1, :].astype(f32)
+        mk = mask_ref[0, :, k, :].astype(f32)
+
+        sx = lane_x + kx + dxo
+        x0 = jnp.floor(sx)
+        wx1 = sx - x0
+        wx0 = 1.0 - wx1
+        v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+        v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+        xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+
+        fy = ky + dy
+        y0f = jnp.floor(fy)
+        wy1f = fy - y0f
+
+        def d_body(di, carry, *, ky=ky, k=k):
+            dm_acc, ddy_acc, ddx_acc = carry
+            d = di + (ky - max_dy)
+            df = d.astype(f32)
+            m0 = (y0f == df).astype(f32)
+            m1 = (y0f == df - 1.0).astype(f32)
+            wy_d = m0 * (1.0 - wy1f) + m1 * wy1f
+            s_d = m1 - m0
+
+            oh0 = (xi0[:, None, :] == iota_sub).astype(f32)
+            oh1 = (xi1[:, None, :] == iota_sub).astype(f32)
+            mmat = ((wx0 * v0)[:, None, :] * oh0
+                    + (wx1 * v1)[:, None, :] * oh1).astype(bf16)
+            dmat = (v1[:, None, :] * oh1 - v0[:, None, :] * oh0).astype(bf16)
+
+            x_rows = xs_ref[pl.ds(PAD + d, 8), :cin, :].astype(bf16)
+            samples_m = lax.dot_general(
+                x_rows, mmat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [8, Cin, W]
+            samples_d = lax.dot_general(
+                x_rows, dmat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )
+
+            dc = dcols_ref[...].astype(f32)
+            r_m = jnp.sum(dc * samples_m, axis=1)  # [8, W]
+            r_d = jnp.sum(dc * samples_d, axis=1)
+
+            dm_acc = dm_acc + wy_d * r_m
+            ddy_acc = ddy_acc + s_d * mk * r_m
+            ddx_acc = ddx_acc + wy_d * mk * r_d
+            cols_ref[...] = cols_ref[...] + (
+                (wy_d * mk)[:, None, :] * samples_m
+            )
+            return dm_acc, ddy_acc, ddx_acc
+
+        zero = jnp.zeros((8, w), f32)
+        dm_acc, ddy_acc, ddx_acc = lax.fori_loop(
+            0, 2 * max_dy + 2, d_body, (zero, zero, zero)
+        )
+        dmask_ref[0, :, k, :] = dm_acc
+        doff_ref[0, :, 2 * k, :] = ddy_acc * clamp_pass
+        doff_ref[0, :, 2 * k + 1, :] = ddx_acc
+
+        # dW_k += cols . ct^T (contract pixels), accumulated across the grid
+        for s in range(8):
+            dw_ref[k * cin:(k + 1) * cin, :] += lax.dot_general(
+                cols_ref[s].astype(bf16), ct_ref[0, s].astype(bf16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+
+def _dcn_rowmajor_grads_impl(x, offset, mask, weight, ct, max_dy):
+    """XLA wrapper for pass A: returns (doffset, dmask, dweight, dbias)."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    assert w == 128 and h % 8 == 0
+    k = kh * kw
+    PAD = 8
+
+    xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    xt = jnp.pad(xt, ((0, 0), (PAD, PAD), (0, _roundup(cin, 8) - cin),
+                      (0, 0)))
+    offt = jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32)
+    maskt = jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32)
+    ctt = jnp.transpose(ct, (0, 1, 3, 2)).astype(jnp.float32)
+    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+
+    grid = (b, h // 8)
+    doffg, dmaskg, dw = pl.pallas_call(
+        functools.partial(
+            _dcn_rowmajor_grads_kernel, w=w, cin=cin, cout=cout,
+            max_dy=max_dy,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, cout, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, 2 * k, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, k, w), jnp.float32),
+            jax.ShapeDtypeStruct((k * cin, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((24, _roundup(cin, 8), w), jnp.float32),
+            pltpu.VMEM((8, cin, w), jnp.bfloat16),
+            pltpu.VMEM((8, cin, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET[0],
+    )(offt, maskt, xt, ctt, wmat)
+
+    doff = jnp.transpose(doffg, (0, 1, 3, 2))
+    dmask = jnp.transpose(dmaskg, (0, 1, 3, 2))
+    dweight = dw.reshape(kh, kw, cin, cout)
+    dbias = ct.astype(jnp.float32).sum((0, 1, 2))
+    return (doff.astype(offset.dtype), dmask.astype(mask.dtype),
+            dweight.astype(weight.dtype), dbias)
+
+
 def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int) -> bool:
     """Eligibility for the input-owned dx kernel (W=128 row-major sites)."""
     if w != 128 or h % 8:
@@ -953,17 +1149,17 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
                     jnp.asarray(bias).dtype))
 
     if kernel_bwd and _rowmajor_dx_ok(h, w, cin, cout):
-        # Split backward for the wide (W=128) sites: dx — the only gradient
-        # whose XLA transpose is a scatter — runs through the input-owned
-        # Pallas kernel; doffset/dmask/dW/db stay on XLA autodiff with x
-        # *frozen*, which keeps them pure gather direction (forward-cost).
-        doff, dmask, dweight, dbias = _frozen_x_grads(
-            x, offset, mask, weight, bias, ct,
-            stride=stride, padding=padding, dilation=dilation, g=g,
+        # Split backward for the wide (W=128) sites, all on Pallas:
+        # pass A (output-owned) produces doffset/dmask/dW via the shared
+        # M/D band matmuls; pass B (input-owned) produces dx — the only
+        # gradient whose XLA transpose would be a scatter.
+        doff, dmask, dweight, dbias = _dcn_rowmajor_grads_impl(
+            x, offset, mask, weight, ct, max_dy=4
         )
         dx = _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy=4)
         return (dx.astype(x.dtype), doff, dmask, dweight,
-                None if bias is None else dbias)
+                None if bias is None else dbias.astype(
+                    jnp.asarray(bias).dtype))
 
     def xla_fwd(x, offset, mask, weight, bias):
         return _xla_fwd_clamped(x, offset, mask, weight, bias,
@@ -994,25 +1190,6 @@ def _xla_fwd_clamped(x, offset, mask, weight, bias, *, stride, padding,
     return dcn_v2(x.astype(jnp.float32), off, mask,
                   weight.astype(jnp.float32), bias, stride=stride,
                   padding=padding, dilation=dilation, deformable_groups=g)
-
-
-def _frozen_x_grads(x, offset, mask, weight, bias, ct, *, stride, padding,
-                    dilation, g):
-    """(doffset, dmask, dweight, dbias) via XLA autodiff with x held
-    constant — every piece is gather-direction or a GEMM transpose; the
-    scatter (dx) is excluded and handled by the Pallas dx kernel."""
-    def fwd(offset, mask, weight, bias):
-        return _xla_fwd_clamped(x, offset, mask, weight, bias, stride=stride,
-                                padding=padding, dilation=dilation, g=g)
-
-    if bias is None:
-        primal, vjp = jax.vjp(
-            lambda o, m, wt: fwd(o, m, wt, None), offset, mask, weight
-        )
-        doff, dmask, dweight = vjp(ct.astype(primal.dtype))
-        return doff, dmask, dweight, None
-    primal, vjp = jax.vjp(fwd, offset, mask, weight, bias)
-    return vjp(ct.astype(primal.dtype))
 
 
 dcn_v2_pallas.defvjp(_fwd, _bwd)

@@ -393,13 +393,10 @@ def test_rowmajor_dx_split_backward_matches_xla_grads():
         for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"), gk, gx):
             a = np.asarray(a)
             b_ = np.asarray(b_)
-            if name == "dx":
-                # the dx kernel's band dots run bf16 (the MXU's native
-                # default precision; hardware-measured rel err ~3e-3)
-                rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
-                assert rel < 2e-2, f"dx rel err {rel}"
-            else:
-                np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4,
-                                           err_msg=name)
+            # all five gradients come from bf16 band matmuls (pass A for
+            # doffset/dmask/dW, pass B for dx; native MXU precision,
+            # hardware-measured rel err ~3e-3)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 2e-2, f"{name} rel err {rel}"
     finally:
         dp._INTERPRET[0] = False
