@@ -87,8 +87,16 @@ class Detector:
     # ------------------------------------------------------------------
     def _build_process_fn(self):
         model, cfg, flip_test, k = self.model, self.cfg, self.flip_test, self.k
+        mean = jnp.asarray(self.mean)
+        std = jnp.asarray(self.std)
 
         def process(variables, images):
+            if images.dtype == jnp.uint8:
+                # device-side normalization: the host hands raw warped uint8
+                # pixels, so H2D moves 4x fewer bytes (and the divide/sub
+                # fuses into the first conv).  float inputs are assumed
+                # already normalized (back-compat path).
+                images = (images.astype(jnp.float32) / 255.0 - mean) / std
             out = model.apply(variables, images, train=False)
             hm = sigmoid_clamped(out["hm"])
             hm_hp = sigmoid_clamped(out["hm_hp"]) if cfg.loss.hm_hp else None
@@ -140,8 +148,9 @@ class Detector:
         resized = cv2.resize(image, (new_width, new_height))
         trans = get_affine_transform(c, s, 0.0, (inp_width, inp_height))
         inp = cv2.warpAffine(resized, trans, (inp_width, inp_height), flags=cv2.INTER_LINEAR)
-        inp = ((inp.astype(np.float32) / 255.0) - self.mean) / self.std
-        images = inp[None]  # [1, H, W, 3]
+        # stay uint8: normalization happens on device (process()), so the
+        # H2D upload is 4x smaller and the host skips a float pass
+        images = inp[None]  # [1, H, W, 3] uint8
         if self.flip_test:
             images = np.concatenate([images, images[:, :, ::-1, :]], axis=0)
         down = self.cfg.model.input_res // self.cfg.model.output_res
@@ -221,7 +230,9 @@ class Detector:
         }
 
     def run_batch(self, images: np.ndarray) -> np.ndarray:
-        """Batched video-stream inference: [N, H, W, 3] normalized inputs ->
-        [N, K, 40] decoded detections in one device call (BASELINE config #5).
-        Caller handles any per-frame inverse transforms."""
+        """Batched video-stream inference: [N, H, W, 3] frames -> [N, K, 40]
+        decoded detections in one device call (BASELINE config #5).  uint8
+        frames are normalized on device (the fast path: 4x smaller H2D);
+        float32 inputs are assumed pre-normalized.  Caller handles any
+        per-frame inverse transforms."""
         return np.asarray(self._process_fn(self.variables, jnp.asarray(images)))

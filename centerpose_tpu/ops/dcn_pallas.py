@@ -16,13 +16,16 @@ translation of the CUDA thread mapping:
   hardware lane-gather (``tpu.dynamic_gather`` via ``jnp.take_along_axis``
   on a [8, W] vreg, W <= 128 lanes).
 * **y-direction offsets are clamped to ±R grid cells** (R = ``max_dy``,
-  default 4): the kernel scans the 2R+4 candidate input rows per 8-row
-  output block and masks each against the per-pixel floor(y) — turning the
-  cross-sublane gather (which the VPU cannot do) into a short masked sum.
-  This is the one *documented semantic delta* vs the CUDA kernel, which
-  allows unbounded offsets; learned DCN offsets at stride-4 resolution are
-  almost always within a cell or two, and the XLA path keeps the unbounded
-  semantics for cross-checking.
+  default 4): the kernels scan a bounded band of candidate source rows and
+  mask against the per-pixel floor(y) — turning the cross-sublane gather
+  (which the VPU cannot do) into MXU band work.  This is the one
+  *documented semantic delta* vs the CUDA kernel, which allows unbounded
+  offsets.  Measured on a converged model (output/offsets_hist.json): the
+  clamp binds at <2% of taps at the fine stride-4 sites but up to ~27% at
+  the coarse 16-32px sites; what matters is train/serve CONSISTENCY — the
+  custom VJP applies the same clamp, and a pallas_full-trained dla_34
+  evaluates at AP 0.967 under pallas_full vs 0.745 under unclamped XLA.
+  The XLA path keeps the unbounded semantics for cross-checking.
 * The K*Cin gathered/modulated samples accumulate into an im2col scratch
   ``[8 rows, K*Cin, W]``; one ``dot_general`` per output row contracts it
   with the ``[K*Cin, Cout]`` weight on the **MXU**.

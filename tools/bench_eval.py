@@ -72,7 +72,7 @@ def bench_video(frames: int, batch: int = 8):
     det = Detector(cfg)
     res = cfg.model.input_res
     rng = np.random.default_rng(0)
-    stream = rng.normal(size=(frames, res, res, 3)).astype(np.float32)
+    stream = rng.integers(0, 255, size=(frames, res, res, 3)).astype(np.uint8)
 
     det.run_batch(stream[:batch])  # compile
     t0 = time.perf_counter()

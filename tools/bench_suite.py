@@ -125,8 +125,12 @@ def write_perf_md(table, path="output/PERF.md"):
         "",
         "All numbers: steady-state, compile excluded, trailing-readback",
         "sync (the remote backend's only reliable fence).  `infer` =",
-        "forward + sigmoid + full on-device decode (K=100).  Baseline for",
-        "context: reference DLA-34 ~23 FPS batch-1 on a 2019 GPU",
+        "forward + sigmoid + full on-device decode (K=100) from on-device",
+        "inputs; `video`/`eval_msflip` include host pre-process and the",
+        "H2D frame upload, which on THIS sandbox's tunneled TPU runs at",
+        "~15-60 MB/s (a local PCIe host would be ~1000x that), so those",
+        "two rows are transfer-bound here, not compute-bound.  Baseline",
+        "for context: reference DLA-34 ~23 FPS batch-1 on a 2019 GPU",
         "(BASELINE.md).",
         "",
         "| arch | variant | mode | batch | ms | images/s |",
