@@ -450,17 +450,6 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
         wy1 = fy - y0f
         wy0 = 1.0 - wy1
 
-        # per (slab, y-corner): membership + within-slab lane indices
-        slabs = []
-        for m in range(m_lo, m_hi + 1):
-            per_corner = []
-            for cy in (0, 1):
-                gp = lane_g + y0f + cy
-                mu = (jnp.floor(gp / grp) == m).astype(f32)
-                gl = jnp.clip((gp - m * grp).astype(jnp.int32), 0, grp - 1)
-                per_corner.append((mu, gl * w + xi0, gl * w + xi1))
-            slabs.append((m, per_corner))
-
         # dcols_k = W_k x ct^T  -> [C, 128] per sublane
         wk = w_ref[k * cin:(k + 1) * cin, :]
         for s in range(br):
@@ -469,43 +458,76 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
                 preferred_element_type=f32,
             )
 
-        # channel loop: corner values -> cols (for dW), dmask/doffset sums
-        def per_channel(c, carry):
+        cols_ref[...] = jnp.zeros_like(cols_ref)
+
+        # ONE fused slab loop produces every gradient as MXU work (the old
+        # per-channel gather recompute was VPU-bound).  Per slab m, three
+        # matrices assemble from four shared transposed one-hots:
+        #   M = sum_cy (mu*wy_cy)*(wx0 v0 oh0 + wx1 v1 oh1)  (x/y interp)
+        #   F = sum_cy (mu*wy_cy)*(v1 oh1 - v0 oh0)          (d/dx)
+        #   Y = sum_cy (mu*sign_cy)*(wx0 v0 oh0 + wx1 v1 oh1) (d/dy)
+        # then sample_* = x . *, r_* = sum_c dcols * sample_*,
+        # dmask = sum r_M, ddx = mk*sum r_F, ddy = mk*sum r_Y,
+        # cols += mk * sample_M (for dW), and dx's scatter matrix is just
+        # mk-scaled M: updates = (dcols*mk) . M^T.  All matrices assemble
+        # in bf16 to keep the per-iteration kernel stack under the cap.
+        def m_body(mi, carry, *, ky=ky, k=k):
             dm_acc, ddy_acc, ddx_acc = carry
-            g00 = jnp.zeros((br, 128), f32)
-            g01 = jnp.zeros((br, 128), f32)
-            g10 = jnp.zeros((br, 128), f32)
-            g11 = jnp.zeros((br, 128), f32)
-            for m, per_corner in slabs:
-                src = x_ref[0, pl.ds(i * br + m + pad_g, br), c, :].astype(f32)
-                mu0, li00, li01 = per_corner[0]
-                mu1, li10, li11 = per_corner[1]
-                g00 = g00 + mu0 * jnp.take_along_axis(src, li00, axis=1)
-                g01 = g01 + mu0 * jnp.take_along_axis(src, li01, axis=1)
-                g10 = g10 + mu1 * jnp.take_along_axis(src, li10, axis=1)
-                g11 = g11 + mu1 * jnp.take_along_axis(src, li11, axis=1)
-            sample_unmod = (
-                wy0 * (wx0 * v0 * g00 + wx1 * v1 * g01)
-                + wy1 * (wx0 * v0 * g10 + wx1 * v1 * g11)
-            )
-            cols_ref[:, c, :] = sample_unmod * mk
-            dc = dcols_ref[:, c, :]
-            dm_acc = dm_acc + dc * sample_unmod
-            ddx_acc = ddx_acc + dc * mk * (
-                wy0 * (v1 * g01 - v0 * g00) + wy1 * (v1 * g11 - v0 * g10)
-            )
-            ddy_acc = ddy_acc + dc * mk * (
-                wx0 * v0 * (g10 - g00) + wx1 * v1 * (g11 - g01)
-            )
+            m = mi + m_lo
+            mf = m.astype(f32)
+            bf = jnp.bfloat16
+            mmat = jnp.zeros((br, 128, 128), bf)
+            fmat = jnp.zeros((br, 128, 128), bf)
+            ymat = jnp.zeros((br, 128, 128), bf)
+            for cy, wyc, sgn in ((0, wy0, -1.0), (1, wy1, 1.0)):
+                gp = lane_g + y0f + cy
+                mu = (jnp.floor(gp / grp) == mf).astype(f32)
+                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
+                li0 = gl * w + xi0
+                li1 = gl * w + xi1
+                oh0 = (li0[:, None, :] == iota_sub3).astype(bf)
+                oh1 = (li1[:, None, :] == iota_sub3).astype(bf)
+                e = ((mu * wx0 * v0).astype(bf)[:, None, :] * oh0
+                     + (mu * wx1 * v1).astype(bf)[:, None, :] * oh1)
+                fm = ((mu * v1).astype(bf)[:, None, :] * oh1
+                      - (mu * v0).astype(bf)[:, None, :] * oh0)
+                wyb = wyc.astype(bf)[:, None, :]
+                mmat = mmat + wyb * e
+                fmat = fmat + wyb * fm
+                ymat = ymat + jnp.asarray(sgn, bf) * e
+            x_rows = x_ref[0, pl.ds(i * br + m + pad_g, br), :, :].astype(bf)
+            dc = dcols_ref[...]  # [br, C, 128] f32
+
+            def samp(mat):  # [br, C, pix]
+                return lax.dot_general(
+                    x_rows, mat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+
+            s_m = samp(mmat)
+            dm_acc = dm_acc + jnp.sum(dc * s_m, axis=1)
+            cols_ref[...] = cols_ref[...] + mk[:, None, :] * s_m
+            # dx: scatter matrix is mk-scaled M; NT dot over pixels
+            updates = lax.dot_general(
+                (dc * mk[:, None, :]).astype(bf), mmat,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [br, C, 128src]: sublane s scatters into row base+m+s
+            base = i * br + m + pad_g
+            window = dx_ref[0, pl.ds(base, br), :, :]
+            dx_ref[0, pl.ds(base, br), :, :] = window + updates
+
+            ddx_acc = ddx_acc + jnp.sum(dc * samp(fmat), axis=1)
+            ddy_acc = ddy_acc + jnp.sum(dc * samp(ymat), axis=1)
             return dm_acc, ddy_acc, ddx_acc
 
         zero = jnp.zeros((br, 128), f32)
         dm_acc, ddy_acc, ddx_acc = lax.fori_loop(
-            0, cin, per_channel, (zero, zero, zero)
+            0, m_hi - m_lo + 1, m_body, (zero, zero, zero)
         )
         dmask_ref[0, :, k, :] = dm_acc
-        doff_ref[0, :, 2 * k, :] = ddy_acc * clamp_pass
-        doff_ref[0, :, 2 * k + 1, :] = ddx_acc
+        doff_ref[0, :, 2 * k, :] = ddy_acc * mk * clamp_pass
+        doff_ref[0, :, 2 * k + 1, :] = ddx_acc * mk
 
         # dW_k += cols x ct  (accumulated across the whole grid)
         for s in range(br):
@@ -513,39 +535,6 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
                 cols_ref[s], ct_ref[0, s], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-
-        # dx: per slab, scatter-as-matmul.  A_m^T[src, pix] collects every
-        # corner weight of pixels whose corner lands in source slab m; the
-        # gather transpose rides the MXU as a batched NT dot.  fori (not a
-        # static unroll): each slab's [br, 128, 128] one-hot temporaries
-        # would otherwise stack up across 9 taps x ~7 slabs past the 16M
-        # scoped-VMEM cap.
-        def m_body(mi, _, *, ky=ky, k=k):
-            m = mi + m_lo
-            mf = m.astype(f32)
-            at = jnp.zeros((br, 128, 128), f32)
-            for cy, wyc in ((0, wy0), (1, wy1)):
-                gp = lane_g + y0f + cy
-                mu = (jnp.floor(gp / grp) == mf).astype(f32)
-                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
-                li0 = gl * w + xi0
-                li1 = gl * w + xi1
-                w0 = mu * wyc * mk * wx0 * v0
-                w1 = mu * wyc * mk * wx1 * v1
-                at = (at
-                      + w0[:, None, :] * (li0[:, None, :] == iota_sub3).astype(f32)
-                      + w1[:, None, :] * (li1[:, None, :] == iota_sub3).astype(f32))
-            updates = lax.dot_general(
-                dcols_ref[...].astype(jnp.bfloat16), at.astype(jnp.bfloat16),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [br, C, 128]: sublane s scatters into source row base+m+s
-            base = i * br + m + pad_g
-            window = dx_ref[0, pl.ds(base, br), :, :]
-            dx_ref[0, pl.ds(base, br), :, :] = window + updates
-            return 0
-
-        lax.fori_loop(0, m_hi - m_lo + 1, m_body, 0)
 
 
 def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
