@@ -148,9 +148,13 @@ class Detector:
         resized = cv2.resize(image, (new_width, new_height))
         trans = get_affine_transform(c, s, 0.0, (inp_width, inp_height))
         inp = cv2.warpAffine(resized, trans, (inp_width, inp_height), flags=cv2.INTER_LINEAR)
-        # stay uint8: normalization happens on device (process()), so the
-        # H2D upload is 4x smaller and the host skips a float pass
-        images = inp[None]  # [1, H, W, 3] uint8
+        if inp.dtype != np.uint8:
+            # float frames (0-255 pixel values) must not skip the device-side
+            # uint8 normalization in process(): normalize them on host here.
+            inp = ((inp.astype(np.float32) / 255.0 - self.mean) / self.std)
+        # uint8 stays uint8: normalization happens on device (process()), so
+        # the H2D upload is 4x smaller and the host skips a float pass
+        images = inp[None]  # [1, H, W, 3]
         if self.flip_test:
             images = np.concatenate([images, images[:, :, ::-1, :]], axis=0)
         down = self.cfg.model.input_res // self.cfg.model.output_res

@@ -30,9 +30,14 @@ translation of the CUDA thread mapping:
   ``[8 rows, K*Cin, W]``; one ``dot_general`` per output row contracts it
   with the ``[K*Cin, Cout]`` weight on the **MXU**.
 
-Forward-only: ``dcn_v2_pallas`` wires a ``jax.custom_vjp`` whose backward
-runs the XLA formulation (``ops.dcn.dcn_v2_patch``), so training works
-end-to-end while inference gets the fused kernel.
+Training runs fused too: ``dcn_v2_pallas`` wires a ``jax.custom_vjp`` whose
+backward (``kernel_bwd=True``, shapes permitting) is either the single fused
+grouped-backward kernel (narrow sites, W<=64) or the split W=128 backward —
+pass A (``_dcn_rowmajor_grads_kernel``) for doffset/dmask/dW, pass B
+(``_dcn_rowmajor_dx_kernel``) for dx.  Sites outside the kernel envelopes
+fall back to autodiff through a y-clamped XLA forward
+(``_xla_fwd_clamped``), keeping gradients consistent with the kernels'
+semantics.
 
 Constraints (asserted): stride=1, dilation=1, 3x3 kernel, deformable_groups=1,
 W <= 128, H % 8 == 0 — exactly the DLA-34/IDAUp configuration (SURVEY.md §2

@@ -362,9 +362,10 @@ def test_pallas_grouped_kernel_small_interpret():
 
 @pytest.mark.slow
 def test_rowmajor_dx_split_backward_matches_xla_grads():
-    """kernel_bwd=True at a W=128 site routes dx through the input-owned
-    Pallas dx kernel (+ frozen-x XLA grads for offset/mask/weight/bias); all
-    five gradients must match the clamped XLA formulation's autodiff."""
+    """kernel_bwd=True at a W=128 site routes the backward through the
+    two-pass Pallas split: pass A (_dcn_rowmajor_grads_impl) computes
+    doffset/dmask/dweight/dbias, pass B (_dcn_rowmajor_dx_impl) computes dx;
+    all five gradients must match the clamped XLA formulation's autodiff."""
     import centerpose_tpu.ops.dcn_pallas as dp
 
     dp._INTERPRET[0] = True

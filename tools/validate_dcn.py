@@ -179,6 +179,12 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
             return np.minimum(fr, 1.0 - fr) < 1e-5
 
         edge = knife(fy) | knife(fx)  # [B, hw, hw, 9]
+        # NOTE: the exclusion only masks doffset/dmask.  dx and dweight rows
+        # receiving a knife-edge tap's contribution can also legitimately
+        # diverge (the kernel and XLA pick different bilinear corner pairs);
+        # scattering the tap mask into those gradients is not worth the
+        # complexity, so their rel-errs carry a residual exposure of
+        # `knife_edge_taps` taps — interpret spikes there accordingly.
         row = {"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": True,
                "bwd_path": path, "knife_edge_taps": int(edge.sum())}
         for name, p, r in zip(("dx", "doffset", "dmask", "dweight", "dbias"),
