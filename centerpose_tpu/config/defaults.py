@@ -40,6 +40,12 @@ class ModelConfig:
     # kernel), or 'conv' (ignore offsets/mask -> plain conv; ablation /
     # perf-baseline mode, not numerically a DCN).
     dcn_impl: str = "xla"
+    # y-offset clamp radius of the fused Pallas kernels.  0 = auto: per-width
+    # defaults sized from the measured learned-offset envelope
+    # (ops/dcn_pallas.DEFAULT_MAX_DY; output/offsets_hist.json).  A positive
+    # value forces that radius at every site (lowered to the structural cap
+    # at W=128 sites).  The XLA impl is always unclamped.
+    dcn_max_dy: int = 0
 
     def heads(self) -> Dict[str, int]:
         """Head name -> channel count (reference: train.py heads dict)."""

@@ -47,6 +47,9 @@ class DCN(nn.Module):
     dilation: int = 1
     deformable_groups: int = 1
     impl: str = "xla"
+    # y-offset clamp radius for the fused kernels (0 = auto: per-width
+    # DEFAULT_MAX_DY sized from the measured learned-offset envelope).
+    max_dy: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,12 +91,14 @@ class DCN(nn.Module):
 
             b, h, w, cin = x.shape
             if pallas_supported(h, w, cin, self.features, self.kernel,
-                                self.stride, self.dilation, g):
+                                self.stride, self.dilation, g,
+                                max_dy=self.max_dy):
                 return dcn_v2_pallas(
                     x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
                     bias, stride=self.stride, padding=pad,
                     dilation=self.dilation, deformable_groups=g,
                     kernel_bwd=(self.impl == "pallas_full"),
+                    max_dy=self.max_dy,
                 )
             # outside the fused kernel's envelope (shape or VMEM): XLA path
         if self.impl == "xla_patch":
@@ -123,11 +128,13 @@ class DeformConv(nn.Module):
     features: int
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
+    dcn_max_dy: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCN(self.features, impl=self.dcn_impl, dtype=self.dtype)(x)
+        x = DCN(self.features, impl=self.dcn_impl, max_dy=self.dcn_max_dy,
+                dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name, dtype=self.dtype,
@@ -329,6 +336,7 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
+    dcn_max_dy: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -336,7 +344,7 @@ class IDAUp(nn.Module):
                  train: bool = False) -> List[jnp.ndarray]:
         layers = list(layers)
         common = dict(bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-                      dtype=self.dtype)
+                      dcn_max_dy=self.dcn_max_dy, dtype=self.dtype)
         for i in range(startp + 1, endp):
             f = int(self.up_factors[i - startp])
             p = DeformConv(self.features, name=f"proj_{i - startp}", **common)(
@@ -361,6 +369,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]  # channels[startp:] of the trunk
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
+    dcn_max_dy: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -375,7 +384,7 @@ class DLAUp(nn.Module):
             layers_tail = IDAUp(
                 channels[j], up_f, name=f"ida_{i}",
                 bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-                dtype=self.dtype,
+                dcn_max_dy=self.dcn_max_dy, dtype=self.dtype,
             )(layers, len(layers) + j, len(layers), train)
             layers = layers_tail
             out.insert(0, layers[-1])
@@ -397,6 +406,7 @@ class DLASeg(nn.Module):
     last_level: int = 5
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
+    dcn_max_dy: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -409,7 +419,7 @@ class DLASeg(nn.Module):
         outs = DLAUp(
             first_level, trunk_channels[first_level:],
             bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-            dtype=self.dtype, name="dla_up",
+            dcn_max_dy=self.dcn_max_dy, dtype=self.dtype, name="dla_up",
         )(feats, train)
 
         y = list(outs[: self.last_level - first_level])
@@ -417,7 +427,7 @@ class DLASeg(nn.Module):
             trunk_channels[first_level],
             [2 ** i for i in range(self.last_level - first_level)],
             bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-            dtype=self.dtype, name="ida_up",
+            dcn_max_dy=self.dcn_max_dy, dtype=self.dtype, name="ida_up",
         )(y, 0, len(y), train)
 
         return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(y[-1])

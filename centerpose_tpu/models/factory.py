@@ -88,6 +88,7 @@ def _dla34(cfg):
         head_conv=cfg.model.head_conv,
         bn_axis_name=_bn_axis(cfg),
         dcn_impl=cfg.model.dcn_impl,
+        dcn_max_dy=cfg.model.dcn_max_dy,
         dtype=_dtype(cfg),
     )
 

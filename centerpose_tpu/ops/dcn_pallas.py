@@ -15,17 +15,21 @@ translation of the CUDA thread mapping:
   bilinear corners need samples at per-pixel x coordinates — done with the
   hardware lane-gather (``tpu.dynamic_gather`` via ``jnp.take_along_axis``
   on a [8, W] vreg, W <= 128 lanes).
-* **y-direction offsets are clamped to ±R grid cells** (R = ``max_dy``,
-  default 4): the kernels scan a bounded band of candidate source rows and
-  mask against the per-pixel floor(y) — turning the cross-sublane gather
+* **y-direction offsets are clamped to ±R grid cells** (R = ``max_dy``):
+  the kernels scan a bounded band of candidate source rows and mask
+  against the per-pixel floor(y) — turning the cross-sublane gather
   (which the VPU cannot do) into MXU band work.  This is the one
   *documented semantic delta* vs the CUDA kernel, which allows unbounded
-  offsets.  Measured on a converged model (output/offsets_hist.json): the
-  clamp binds at <2% of taps at the fine stride-4 sites but up to ~27% at
-  the coarse 16-32px sites; what matters is train/serve CONSISTENCY — the
-  custom VJP applies the same clamp, and a pallas_full-trained dla_34
-  evaluates at AP 0.967 under pallas_full vs 0.745 under unclamped XLA.
-  The XLA path keeps the unbounded semantics for cross-checking.
+  offsets.  R is sized PER SITE WIDTH from the measured offset envelope
+  of a converged model (``DEFAULT_MAX_DY``; output/offsets_hist.json —
+  learned |dy| p99 reaches ~22 cells at the 16x16 site, ~10 at 32/64,
+  <5 at 128) so the clamp sits beyond the p99 of what training actually
+  learns.  The grouped kernels absorb large R cheaply (the y shift folds
+  into the *lane* index, so band work scales with ceil(R/grp)); the
+  row-major W=128 kernels are structurally capped at R=6 by their
+  24-row slab geometry (``_ROWMAJOR_DY_CAP``) — ample there.  The custom
+  VJP applies the same per-site clamp; the XLA path keeps the unbounded
+  semantics for cross-checking.
 * The K*Cin gathered/modulated samples accumulate into an im2col scratch
   ``[8 rows, K*Cin, W]``; one ``dot_general`` per output row contracts it
   with the ``[K*Cin, Cout]`` weight on the **MXU**.
@@ -159,6 +163,7 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
     assert (kh, kw) == (3, 3) and wcin == cin
     assert w <= 128, f"lane one-hot needs W<=128, got {w}"
     assert h % 8 == 0, f"H must be a multiple of 8, got {h}"
+    assert max_dy <= _ROWMAJOR_DY_CAP, (max_dy, _ROWMAJOR_DY_CAP)
     k = kh * kw
     PAD = 8
 
@@ -328,6 +333,7 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
     grp = 128 // w
     hg = h // grp
     br = min(8, hg)
+    assert _grouped_dy_ok(grp, br, max_dy), (grp, br, max_dy)
     k = kh * kw
     PAD = 8
 
@@ -736,6 +742,7 @@ def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
     b, h, w, cout = ct.shape
     kh, kw, cin, wcout = weight.shape
     assert wcout == cout and w == 128 and h % 8 == 0
+    assert max_dy <= _ROWMAJOR_DY_CAP, (max_dy, _ROWMAJOR_DY_CAP)
     k = kh * kw
     PAD = 8
 
@@ -919,6 +926,7 @@ def _dcn_rowmajor_grads_impl(x, offset, mask, weight, ct, max_dy):
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     assert w == 128 and h % 8 == 0
+    assert max_dy <= _ROWMAJOR_DY_CAP, (max_dy, _ROWMAJOR_DY_CAP)
     k = kh * kw
     PAD = 8
 
@@ -978,9 +986,10 @@ def _dcn_rowmajor_grads_impl(x, offset, mask, weight, ct, max_dy):
             dweight.astype(weight.dtype), dbias)
 
 
-def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int) -> bool:
+def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int,
+                    max_dy: int = 4) -> bool:
     """Eligibility for the input-owned dx kernel (W=128 row-major sites)."""
-    if w != 128 or h % 8:
+    if w != 128 or h % 8 or max_dy > _ROWMAJOR_DY_CAP:
         return False
     slabs = 4 * 24 * (_roundup(2 * 9, 8) + _roundup(9, 8)
                       + _roundup(cout, 8)) * w
@@ -994,6 +1003,45 @@ def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int) -> bool:
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
 _VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
+
+# Per-width y-clamp radii, sized from the measured envelope of a converged
+# flagship (output/offsets_hist.json): dy_p99 ~22 at 16x16, ~10 at 32/64,
+# <5 at 128x128.  Values sit beyond p99 with margin; widths not listed
+# (row-major fallback shapes) take the structural row-major cap.
+DEFAULT_MAX_DY = {16: 24, 32: 12, 64: 12, 128: 6}
+
+# Row-major kernels (fwd, pass-A grads, pass-B dx) share a PAD=8 / SLAB=24
+# slab geometry; their y-band index d spans [-1-max_dy, max_dy+2] and must
+# satisfy 0 <= PAD+d and PAD+d+8 <= SLAB  =>  max_dy <= 6.
+_ROWMAJOR_DY_CAP = 6
+
+
+def default_max_dy(w: int) -> int:
+    """Auto y-clamp radius for a site of feature-map width ``w``."""
+    return DEFAULT_MAX_DY.get(w, _ROWMAJOR_DY_CAP)
+
+
+def resolve_max_dy(h: int, w: int, cin: int, cout: int, max_dy: int = 0) -> int:
+    """The clamp radius a site actually runs with: the explicit ``max_dy``
+    (0 = auto per-width default), lowered to the row-major structural cap
+    when the site cannot take the grouped (wide-band) kernel layout.  Both
+    the forward dispatch and the custom VJP resolve through here, so the
+    fused kernels and the XLA-fallback gradients always apply the SAME
+    clamp."""
+    md = int(max_dy) if max_dy else default_max_dy(w)
+    if _grouped_ok(h, w, cin, cout, md):
+        return md
+    return min(md, _ROWMAJOR_DY_CAP)
+
+
+def _grouped_dy_ok(grp: int, br: int, max_dy: int) -> bool:
+    """Grouped-forward slab geometry: with PAD=8 group-rows above and a
+    24-row slab, every contributing slab index m in [m_lo, m_hi] must keep
+    z_ref[PAD+m : PAD+m+br] inside the slab."""
+    shift = max_dy + 1
+    m_lo = -(shift // grp + 1)
+    m_hi = (grp - 1 + shift + 1) // grp
+    return 8 + m_lo >= 0 and 8 + m_hi + br <= 24
 
 
 def _roundup(v: int, m: int) -> int:
@@ -1038,14 +1086,15 @@ def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> 
     return xs + z_buf + wmat + out_blk + offs + a_buf
 
 
-def _rowmajor_ok(h: int, w: int, cin: int, cout: int) -> bool:
+def _rowmajor_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
     return (
         w <= 128 and h % 8 == 0
+        and max_dy <= _ROWMAJOR_DY_CAP
         and pallas_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
     )
 
 
-def _grouped_ok(h: int, w: int, cin: int, cout: int) -> bool:
+def _grouped_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
     if w not in (16, 32, 64):
         return False
     grp = 128 // w
@@ -1055,10 +1104,13 @@ def _grouped_ok(h: int, w: int, cin: int, cout: int) -> bool:
     br = min(8, hg)
     if hg % br:
         return False
-    return grouped_vmem_bytes(h, w, cin, cout) <= _VMEM_LIMIT
+    if not _grouped_dy_ok(grp, br, max_dy):
+        return False
+    return grouped_vmem_bytes(h, w, cin, cout, max_dy) <= _VMEM_LIMIT
 
 
-def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
+def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int,
+                    max_dy: int = 4) -> bool:
     """Eligibility for the fused backward (grouped layout, W<=64).
 
     W=128 is excluded: measured on v5e, the 64->64 @128x128 backward needs
@@ -1078,7 +1130,7 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
         return False
     import math
 
-    pad_g = math.ceil(6 / grp)
+    pad_g = math.ceil((max_dy + 2) / grp)
     hpad = _roundup(hg + 2 * pad_g, 8)
     # x/dx block indices only change across the (outer, slow) batch grid
     # dim, so they are not double-buffered per step (calibrated: the
@@ -1096,64 +1148,75 @@ def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int) -> bool:
 
 def pallas_supported(
     h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
-    dilation: int = 1, deformable_groups: int = 1,
+    dilation: int = 1, deformable_groups: int = 1, max_dy: int = 0,
 ) -> bool:
     """True when a fused kernel variant handles this site within its
     envelope (shape constraints + scoped-VMEM fit); callers fall back to the
-    XLA formulation otherwise."""
+    XLA formulation otherwise.  ``max_dy=0`` = auto per-width default."""
     if not (kernel == 3 and stride == 1 and dilation == 1
             and deformable_groups == 1):
         return False
-    return _grouped_ok(h, w, cin, cout) or _rowmajor_ok(h, w, cin, cout)
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    return (_grouped_ok(h, w, cin, cout, md)
+            or _rowmajor_ok(h, w, cin, cout, md))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
-                  dilation=1, deformable_groups=1, kernel_bwd=False):
+                  dilation=1, deformable_groups=1, kernel_bwd=False,
+                  max_dy=0):
     """DCNv2 fused Pallas forward; backward via the fused grouped kernel
-    (``kernel_bwd=True``, shapes permitting) or the XLA formulation.
+    (``kernel_bwd=True``, shapes permitting), the W=128 split backward, or
+    the clamp-matched XLA formulation.
 
     Forward dispatches between the row-major kernel (wide maps, W~128) and
-    the row-grouped kernel (narrow maps, W in {16,32,64}) by VMEM fit."""
+    the row-grouped kernel (narrow maps, W in {16,32,64}) by VMEM fit.
+    ``max_dy`` sets the y-offset clamp radius (0 = auto: the per-width
+    ``DEFAULT_MAX_DY`` sized from the measured learned-offset envelope)."""
     assert stride == 1 and padding == 1 and dilation == 1
     assert deformable_groups == 1
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
     # Prefer the grouped layout wherever it applies: it fills all 128 lanes
-    # (row-major pads W<128 up to 128, wasting VPU width) and needs less VMEM.
-    if _grouped_ok(h, w, cin, cout):
-        return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy=4)
-    return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=4)
+    # (row-major pads W<128 up to 128, wasting VPU width), needs less VMEM,
+    # and absorbs wide y-bands at ceil(band/grp) slab cost.
+    if _grouped_ok(h, w, cin, cout, md):
+        return _dcn_pallas_grouped_impl(x, offset, mask, weight, bias,
+                                        max_dy=md)
+    return _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy=md)
 
 
-def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g, kb):
+def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g, kb,
+         max_dy):
     out = dcn_v2_pallas(x, offset, mask, weight, bias, stride, padding,
-                        dilation, g, kb)
+                        dilation, g, kb, max_dy)
     return out, (x, offset, mask, weight, bias)
 
 
-def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
+def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
     x, offset, mask, weight, bias = res
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
 
-    if kernel_bwd and _grouped_bwd_ok(h, w, cin, cout):
+    if kernel_bwd and _grouped_bwd_ok(h, w, cin, cout, md):
         dx, doff, dmask, dweight, dbias = _dcn_pallas_grouped_bwd_impl(
-            x, offset, mask, weight, ct, max_dy=4
+            x, offset, mask, weight, ct, max_dy=md
         )
         return (dx, doff, dmask, dweight,
                 None if bias is None else dbias.astype(
                     jnp.asarray(bias).dtype))
 
-    if kernel_bwd and _rowmajor_dx_ok(h, w, cin, cout):
+    if kernel_bwd and _rowmajor_dx_ok(h, w, cin, cout, md):
         # Split backward for the wide (W=128) sites, all on Pallas:
         # pass A (output-owned) produces doffset/dmask/dW via the shared
         # M/D band matmuls; pass B (input-owned) produces dx — the only
         # gradient whose XLA transpose would be a scatter.
         doff, dmask, dweight, dbias = _dcn_rowmajor_grads_impl(
-            x, offset, mask, weight, ct, max_dy=4
+            x, offset, mask, weight, ct, max_dy=md
         )
-        dx = _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy=4)
+        dx = _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy=md)
         return (dx.astype(x.dtype), doff, dmask, dweight,
                 None if bias is None else dbias.astype(
                     jnp.asarray(bias).dtype))
@@ -1161,14 +1224,14 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, res, ct):
     def xla_fwd(x, offset, mask, weight, bias):
         return _xla_fwd_clamped(x, offset, mask, weight, bias,
                                 stride=stride, padding=padding,
-                                dilation=dilation, g=g)
+                                dilation=dilation, g=g, max_dy=md)
 
     primal, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
     return vjp(ct.astype(primal.dtype))
 
 
 def _xla_fwd_clamped(x, offset, mask, weight, bias, *, stride, padding,
-                     dilation, g):
+                     dilation, g, max_dy=4):
     """XLA forward matching the fused kernels' y-clamp semantics, used to
     derive fallback gradients (offsets at the clamp boundary get zero
     y-grad; f32 arithmetic like the kernels).
@@ -1182,7 +1245,8 @@ def _xla_fwd_clamped(x, offset, mask, weight, bias, *, stride, padding,
     k2 = offset.shape[-1] // 2
     off = offset.reshape(*offset.shape[:-1], k2, 2)
     off = jnp.stack(
-        [jnp.clip(off[..., 0], -4.0, 4.0), off[..., 1]], axis=-1
+        [jnp.clip(off[..., 0], -float(max_dy), float(max_dy)), off[..., 1]],
+        axis=-1,
     ).reshape(offset.shape)
     return dcn_v2(x.astype(jnp.float32), off, mask,
                   weight.astype(jnp.float32), bias, stride=stride,

@@ -36,13 +36,21 @@ def _async_ckptr():
     return _ASYNC[0]
 
 
-def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True) -> None:
+def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
     """Write {step, epoch, params, batch_stats, opt_state} to ``path``.
 
     With ``async_save`` (default) the HBM->host copy happens now but the
     file write proceeds in a background thread, so an epoch-boundary save
     does not stall the chip; the previous async save is awaited first
     (orbax serializes saves per checkpointer).
+
+    ``meta`` (JSON-serializable; typically ``ckpt_meta(cfg)``) lands in a
+    ``<path>.meta.json`` sidecar.  It records the semantic knobs the weights
+    were trained under — dcn_impl / dcn_max_dy / compute_dtype — so eval can
+    warn when run under a different DCN implementation (a finite-clamp
+    pallas checkpoint evaluated under unclamped XLA, or vice versa, computes
+    a different function; see docs/DCN.md).
     """
     payload = {
         "step": np.asarray(state.step),
@@ -51,12 +59,61 @@ def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True) -
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
+    if meta is not None:
+        import json
+
+        with open(os.path.abspath(path) + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
     if async_save:
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()
         ckptr.save(os.path.abspath(path), payload, force=True)
     else:
         _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def ckpt_meta(cfg) -> Dict[str, Any]:
+    """The semantic-knob metadata recorded next to every checkpoint."""
+    return {
+        "arch": cfg.model.name,
+        "dcn_impl": cfg.model.dcn_impl,
+        "dcn_max_dy": cfg.model.dcn_max_dy,
+        "compute_dtype": cfg.model.compute_dtype,
+        "input_res": cfg.model.input_res,
+    }
+
+
+def warn_impl_mismatch(cfg, path: str) -> Optional[str]:
+    """Compare the eval config's DCN knobs against a checkpoint's recorded
+    meta; return (and print) a warning string on mismatch, None otherwise.
+
+    The pallas kernels clamp y-offsets per site while XLA is unbounded —
+    evaluating a checkpoint under a different impl than it was trained with
+    evaluates a different function (round-3 measurement: same weights,
+    AP 0.9665 pallas vs 0.7446 XLA under the old uniform +/-4 clamp)."""
+    import json
+
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    mismatches = []
+    for knob in ("dcn_impl", "dcn_max_dy"):
+        want = meta.get(knob)
+        have = getattr(cfg.model, knob, None)
+        if want is not None and want != have:
+            mismatches.append(f"{knob}: trained={want!r} eval={have!r}")
+    if not mismatches:
+        return None
+    msg = (
+        f"[ckpt] WARNING: {path} was trained with different DCN semantics "
+        f"than this eval config ({'; '.join(mismatches)}).  The pallas "
+        "kernels' y-clamp makes dcn_impl part of the model function — "
+        "evaluate with the training impl or expect an AP gap (docs/DCN.md)."
+    )
+    print(msg, flush=True)
+    return msg
 
 
 def wait_for_saves() -> None:
@@ -225,3 +282,65 @@ def import_numpy_state_dict(
         print(f"[import] loaded {n_ok}/{len(flat_init)} params")
     out_leaves = [merged[jax.tree_util.keystr(p)] for p, _ in paths]
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet key maps: route a real `torchvision.models.resnet{N}`
+# state dict (offline-converted to numpy) into PoseResNet trunk params /
+# batch_stats.  Reference analog: msra_resnet init_weights loading the
+# model-zoo state dict (SURVEY.md §5.4).  Head/deconv params have no
+# torchvision source and keep their init (the shape/missing-skip semantics
+# of restore_params_filtered / load_model).
+# ---------------------------------------------------------------------------
+_RESNET_TV_LAYERS = {
+    18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3), 152: (3, 8, 36, 3),
+}
+
+
+def torchvision_resnet_key_maps(num_layers: int):
+    """(params_map, stats_map) from torchvision resnet{num_layers} names to
+    PoseResNet flax paths, for ``import_numpy_state_dict`` on the params and
+    batch_stats trees respectively.
+
+    Torch block `layerL.i` maps to flax `{BasicBlock|Bottleneck}_{k}` in
+    construction order; `convN/bnN` to `ConvBN_{N-1}`; `downsample.{0,1}`
+    to the block's trailing projection `ConvBN_{n_convs}`.  Conv kernels are
+    OIHW in torch — `import_numpy_state_dict` transposes per target shape.
+    """
+    layers = _RESNET_TV_LAYERS[num_layers]
+    bottleneck = num_layers >= 50
+    n_convs = 3 if bottleneck else 2
+    prefix = "Bottleneck" if bottleneck else "BasicBlock"
+    pmap = {
+        "conv1.weight": "Conv_0/kernel",
+        "bn1.weight": "BatchNorm_0/scale",
+        "bn1.bias": "BatchNorm_0/bias",
+    }
+    smap = {
+        "bn1.running_mean": "BatchNorm_0/mean",
+        "bn1.running_var": "BatchNorm_0/var",
+    }
+    blk = 0
+    for stage, n in enumerate(layers, start=1):
+        for i in range(n):
+            t = f"layer{stage}.{i}"
+            f = f"{prefix}_{blk}"
+            for c in range(n_convs):
+                pmap[f"{t}.conv{c + 1}.weight"] = f"{f}/ConvBN_{c}/Conv_0/kernel"
+                pmap[f"{t}.bn{c + 1}.weight"] = f"{f}/ConvBN_{c}/BatchNorm_0/scale"
+                pmap[f"{t}.bn{c + 1}.bias"] = f"{f}/ConvBN_{c}/BatchNorm_0/bias"
+                smap[f"{t}.bn{c + 1}.running_mean"] = (
+                    f"{f}/ConvBN_{c}/BatchNorm_0/mean")
+                smap[f"{t}.bn{c + 1}.running_var"] = (
+                    f"{f}/ConvBN_{c}/BatchNorm_0/var")
+            ds = f"ConvBN_{n_convs}"
+            pmap[f"{t}.downsample.0.weight"] = f"{f}/{ds}/Conv_0/kernel"
+            pmap[f"{t}.downsample.1.weight"] = f"{f}/{ds}/BatchNorm_0/scale"
+            pmap[f"{t}.downsample.1.bias"] = f"{f}/{ds}/BatchNorm_0/bias"
+            smap[f"{t}.downsample.1.running_mean"] = (
+                f"{f}/{ds}/BatchNorm_0/mean")
+            smap[f"{t}.downsample.1.running_var"] = (
+                f"{f}/{ds}/BatchNorm_0/var")
+            blk += 1
+    return pmap, smap

@@ -1,6 +1,7 @@
 """Checkpoint utilities: filtered restore, torch-layout import, opt_state
 structural checks, async save round-trip."""
 
+import os
 import numpy as np
 import pytest
 
@@ -142,3 +143,154 @@ def test_async_save_roundtrip(tmp_path):
     payload = load_checkpoint(path)
     assert int(payload["epoch"]) == 2
     np.testing.assert_array_equal(payload["params"]["w"], params["w"])
+
+
+def test_ckpt_meta_and_impl_mismatch_warning(tmp_path):
+    """Checkpoints record their DCN semantics (dcn_impl / dcn_max_dy /
+    dtype) in a sidecar; eval under a different impl warns — the y-clamp
+    makes dcn_impl part of the model function (docs/DCN.md)."""
+    import optax
+
+    from centerpose_tpu.config import load_config
+    from centerpose_tpu.train.checkpoints import (
+        ckpt_meta,
+        save_checkpoint,
+        wait_for_saves,
+        warn_impl_mismatch,
+    )
+    from centerpose_tpu.train.trainer import TrainState
+
+    cfg_train = load_config(opts=[
+        "model.name", "dla_34", "model.dcn_impl", "pallas_full",
+    ])
+    params = {"w": np.zeros((2, 2), np.float32)}
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        step=np.asarray(0, np.int32), params=params, batch_stats={},
+        opt_state=tx.init(params), tx=tx,
+    )
+    path = str(tmp_path / "model_best")
+    save_checkpoint(path, state, epoch=1, meta=ckpt_meta(cfg_train))
+    wait_for_saves()
+    assert os.path.exists(path + ".meta.json")
+
+    # same impl: no warning
+    assert warn_impl_mismatch(cfg_train, path) is None
+    # eval under unclamped XLA: warn (the 0.9665-vs-0.7446 trap)
+    cfg_eval = load_config(opts=["model.name", "dla_34", "model.dcn_impl", "xla"])
+    msg = warn_impl_mismatch(cfg_eval, path)
+    assert msg is not None and "dcn_impl" in msg
+    # forced non-default clamp radius also warns
+    cfg_md = load_config(opts=[
+        "model.name", "dla_34", "model.dcn_impl", "pallas_full",
+        "model.dcn_max_dy", "4",
+    ])
+    assert warn_impl_mismatch(cfg_md, path) is not None
+    # checkpoints without a sidecar (pre-r4) stay silent
+    assert warn_impl_mismatch(cfg_eval, str(tmp_path / "nope")) is None
+
+
+def test_torchvision_resnet18_state_dict_import():
+    """Prove the importer against a real torchvision-layout fixture
+    (VERDICT r3 item 7): a resnet18 state dict with the exact torchvision
+    key names and OIHW shapes (random values) must route into the
+    PoseResNet trunk — conv kernels transposed to HWIO, bn weight/bias to
+    scale/bias, running stats into batch_stats — while head/deconv params
+    keep their init (load_model shape-skip semantics, SURVEY.md §5.4)."""
+    import jax
+
+    from centerpose_tpu.config import load_config
+    from centerpose_tpu.models.factory import create_model, init_model
+    from centerpose_tpu.train.checkpoints import (
+        import_numpy_state_dict,
+        torchvision_resnet_key_maps,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def tv_resnet18_state_dict():
+        """torchvision.models.resnet18().state_dict() shapes, random."""
+        sd = {}
+
+        def bn(name, c):
+            sd[f"{name}.weight"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[f"{name}.bias"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[f"{name}.running_mean"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[f"{name}.running_var"] = np.abs(
+                rng.normal(size=(c,))).astype(np.float32) + 0.5
+
+        sd["conv1.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+        bn("bn1", 64)
+        widths = (64, 128, 256, 512)
+        in_ch = 64
+        for stage, w in enumerate(widths, start=1):
+            for i in range(2):  # resnet18: 2 BasicBlocks per layer
+                t = f"layer{stage}.{i}"
+                c_in = in_ch if i == 0 else w
+                sd[f"{t}.conv1.weight"] = rng.normal(
+                    size=(w, c_in, 3, 3)).astype(np.float32)
+                bn(f"{t}.bn1", w)
+                sd[f"{t}.conv2.weight"] = rng.normal(
+                    size=(w, w, 3, 3)).astype(np.float32)
+                bn(f"{t}.bn2", w)
+                if i == 0 and (stage > 1):
+                    sd[f"{t}.downsample.0.weight"] = rng.normal(
+                        size=(w, c_in, 1, 1)).astype(np.float32)
+                    bn(f"{t}.downsample.1", w)
+            in_ch = w
+        sd["fc.weight"] = rng.normal(size=(1000, 512)).astype(np.float32)
+        sd["fc.bias"] = rng.normal(size=(1000,)).astype(np.float32)
+        return sd
+
+    sd = tv_resnet18_state_dict()
+    cfg = load_config(opts=[
+        "model.name", "res_18", "model.input_res", "64",
+        "model.output_res", "16",
+    ])
+    model = create_model(cfg)
+    variables = init_model(model, jax.random.PRNGKey(0), 64)
+    pmap, smap = torchvision_resnet_key_maps(18)
+
+    params = import_numpy_state_dict(
+        variables["params"], {k: v for k, v in sd.items() if k in pmap},
+        key_map=pmap, verbose=False)
+    stats = import_numpy_state_dict(
+        variables["batch_stats"], {k: v for k, v in sd.items() if k in smap},
+        key_map=smap, verbose=False)
+
+    # conv kernels transposed OIHW -> HWIO
+    np.testing.assert_array_equal(
+        params["Conv_0"]["kernel"],
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        params["BasicBlock_2"]["ConvBN_2"]["Conv_0"]["kernel"],
+        np.transpose(sd["layer2.0.downsample.0.weight"], (2, 3, 1, 0)))
+    # bn semantics: torch weight -> flax scale; running stats -> batch_stats
+    np.testing.assert_array_equal(
+        params["BatchNorm_0"]["scale"], sd["bn1.weight"])
+    np.testing.assert_array_equal(
+        stats["BatchNorm_0"]["mean"], sd["bn1.running_mean"])
+    np.testing.assert_array_equal(
+        stats["BasicBlock_7"]["ConvBN_1"]["BatchNorm_0"]["var"],
+        sd["layer4.1.bn2.running_var"])
+    # head params untouched: hm 1x1 bias keeps its -2.19 focal init
+    hm_bias = np.asarray(params["heads"]["hm_out"]["bias"]) \
+        if "heads" in params else None
+    if hm_bias is None:
+        # find the hm output bias wherever HeadStack placed it
+        flat = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        cand = [k for k in flat if "hm" in k and "bias" in k
+                and np.shape(flat[k]) == (1,)]
+        assert cand, flat.keys()
+        hm_bias = np.asarray(flat[cand[0]])
+    np.testing.assert_allclose(hm_bias, cfg.model.hm_bias, atol=1e-6)
+
+    # the imported trunk actually runs: one forward, finite heads
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        np.zeros((1, 64, 64, 3), np.float32), train=False)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k

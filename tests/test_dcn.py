@@ -211,7 +211,8 @@ def test_pallas_kernel_matches_reference_interpret():
             mask = jax.nn.sigmoid(rand((2, h, w, 9), 90 + seed))
             wgt = rand((3, 3, cin, cout), 100 + seed, 0.3)
             bias = rand((cout,), 110 + seed)
-            ref = dcn_v2(x, _clamp_y(offset), mask, wgt, bias)
+            md = dp.resolve_max_dy(h, w, cin, cout)
+            ref = dcn_v2(x, _clamp_y(offset, md), mask, wgt, bias)
             out = dp.dcn_v2_pallas(x, offset, mask, wgt, bias)
             ref = np.asarray(ref)
             out = np.asarray(out)
@@ -238,11 +239,12 @@ def test_pallas_vjp_matches_xla_grads():
         # explicit vjp with a FIXED cotangent: the bf16 forward's output
         # differs from the f32 XLA forward at ~1e-3, so grad-of-loss would
         # compare (identical XLA) backwards at different cotangents
+        md = dp.resolve_max_dy(h, w, cin, cout)
         _, vjp_p = jax.vjp(
             lambda x, o, m, wt: dp.dcn_v2_pallas(x, o, m, wt, bias),
             x, offset, mask, wgt)
         _, vjp_x = jax.vjp(
-            lambda x, o, m, wt: dcn_v2(x, _clamp_y(o), m, wt, bias),
+            lambda x, o, m, wt: dcn_v2(x, _clamp_y(o, md), m, wt, bias),
             x, offset, mask, wgt)
         ct = rand((b, h, w, cout), 124)
         for a, b_ in zip(vjp_p(ct), vjp_x(ct)):
@@ -311,7 +313,8 @@ def test_pallas_fused_backward_matches_xla_grads():
     dp._INTERPRET[0] = True
     try:
         hw, cin, cout = 16, 8, 8
-        assert dp._grouped_bwd_ok(hw, hw, cin, cout)
+        md = dp.resolve_max_dy(hw, hw, cin, cout)
+        assert dp._grouped_bwd_ok(hw, hw, cin, cout, md)
         x = rand((1, hw, hw, cin), 200)
         offset = rand((1, hw, hw, 18), 201, 5.0)
         mask = jax.nn.sigmoid(rand((1, hw, hw, 9), 202))
@@ -323,7 +326,7 @@ def test_pallas_fused_backward_matches_xla_grads():
             lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
             x, offset, mask, wgt, bias)
         _, vjp_x = jax.vjp(
-            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o), m, wt, bb),
+            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o, md), m, wt, bb),
             x, offset, mask, wgt, bias)
         ct = rand((1, hw, hw, cout), 205)
         gk = vjp_k(ct)
@@ -371,8 +374,10 @@ def test_rowmajor_dx_split_backward_matches_xla_grads():
     dp._INTERPRET[0] = True
     try:
         h, w, cin, cout = 8, 128, 4, 4
-        assert dp._rowmajor_dx_ok(h, w, cin, cout)
-        assert not dp._grouped_bwd_ok(h, w, cin, cout)
+        md = dp.resolve_max_dy(h, w, cin, cout)
+        assert md == dp._ROWMAJOR_DY_CAP
+        assert dp._rowmajor_dx_ok(h, w, cin, cout, md)
+        assert not dp._grouped_bwd_ok(h, w, cin, cout, md)
         x = rand((1, h, w, cin), 400)
         offset = rand((1, h, w, 18), 401, 5.0)
         mask = jax.nn.sigmoid(rand((1, h, w, 9), 402))
@@ -386,7 +391,7 @@ def test_rowmajor_dx_split_backward_matches_xla_grads():
             lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
             x, offset, mask, wgt, bias)
         _, vjp_x = jax.vjp(
-            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o), m, wt, bb),
+            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o, md), m, wt, bb),
             x, offset, mask, wgt, bias)
         ct = rand((1, h, w, cout), 405)
         gk = vjp_k(ct)
@@ -397,6 +402,87 @@ def test_rowmajor_dx_split_backward_matches_xla_grads():
             # all five gradients come from bf16 band matmuls (pass A for
             # doffset/dmask/dW, pass B for dx; native MXU precision,
             # hardware-measured rel err ~3e-3)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 2e-2, f"{name} rel err {rel}"
+    finally:
+        dp._INTERPRET[0] = False
+
+
+# ---------------------------------------------------------------------------
+# per-site max_dy envelope (VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_max_dy_defaults():
+    """Auto clamp radii cover the measured learned-offset envelope
+    (output/offsets_hist.json dy_p99: ~22 @16^2, ~10 @32/64, <5 @128)."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    assert dp.resolve_max_dy(16, 16, 512, 256) == 24
+    assert dp.resolve_max_dy(32, 32, 256, 256) == 12
+    assert dp.resolve_max_dy(64, 64, 128, 128) == 12
+    assert dp.resolve_max_dy(128, 128, 64, 64) == dp._ROWMAJOR_DY_CAP
+    # explicit override wins (and is lowered to the cap at W=128)
+    assert dp.resolve_max_dy(16, 16, 512, 256, max_dy=4) == 4
+    assert dp.resolve_max_dy(128, 128, 64, 64, max_dy=20) == dp._ROWMAJOR_DY_CAP
+    # every flagship site still takes a fused forward at its auto radius
+    for cin, cout, hw in [(512, 256, 16), (256, 256, 32), (256, 128, 32),
+                          (128, 128, 64), (128, 64, 64), (256, 64, 32),
+                          (64, 64, 128)]:
+        assert dp.pallas_supported(hw, hw, cin, cout), (cin, cout, hw)
+
+
+def test_pallas_wide_band_grouped_matches_unclamped_interpret():
+    """At the 16x16 site the auto radius (24) makes the clamp vacuous for
+    offsets the model can realistically learn: the fused forward must match
+    the UNCLAMPED XLA reference (offsets ~N(0,5) never reach |dy|=24)."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        hw, cin, cout = 16, 8, 8
+        x = rand((2, hw, hw, cin), 500)
+        offset = rand((2, hw, hw, 18), 501, 5.0)
+        assert float(jnp.abs(offset).max()) < 24.0
+        mask = jax.nn.sigmoid(rand((2, hw, hw, 9), 502))
+        wgt = rand((3, 3, cin, cout), 503, 0.3)
+        bias = rand((cout,), 504)
+        ref = np.asarray(dcn_v2(x, offset, mask, wgt, bias))  # UNCLAMPED
+        out = np.asarray(dp.dcn_v2_pallas(x, offset, mask, wgt, bias))
+        rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 1e-2, f"wide-band fwd rel err {rel}"
+    finally:
+        dp._INTERPRET[0] = False
+
+
+@pytest.mark.slow
+def test_pallas_wide_band_grouped_backward_matches_unclamped_interpret():
+    """Fused grouped backward at w=32 with the auto radius (12): gradients
+    match UNCLAMPED XLA autodiff when offsets stay inside the envelope."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        hw, cin, cout = 32, 8, 8
+        md = dp.resolve_max_dy(hw, hw, cin, cout)
+        assert md == 12 and dp._grouped_bwd_ok(hw, hw, cin, cout, md)
+        x = rand((1, hw, hw, cin), 510)
+        offset = rand((1, hw, hw, 18), 511, 3.0)
+        assert float(jnp.abs(offset).max()) < 12.0
+        mask = jax.nn.sigmoid(rand((1, hw, hw, 9), 512))
+        wgt = rand((3, 3, cin, cout), 513, 0.3)
+        bias = rand((cout,), 514)
+        _, vjp_k = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
+            x, offset, mask, wgt, bias)
+        _, vjp_x = jax.vjp(
+            lambda x, o, m, wt, bb: dcn_v2(x, o, m, wt, bb),  # UNCLAMPED
+            x, offset, mask, wgt, bias)
+        ct = rand((1, hw, hw, cout), 515)
+        for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"),
+                               vjp_k(ct), vjp_x(ct)):
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
             rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
             assert rel < 2e-2, f"{name} rel err {rel}"
     finally:

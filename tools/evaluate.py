@@ -41,10 +41,15 @@ def load_detector(cfg):
 
     from centerpose_tpu.inference.detector import Detector
     from centerpose_tpu.models.factory import create_model, init_model
-    from centerpose_tpu.train.checkpoints import load_checkpoint, restore_params_filtered
+    from centerpose_tpu.train.checkpoints import (
+        load_checkpoint,
+        restore_params_filtered,
+        warn_impl_mismatch,
+    )
 
     variables = None
     if cfg.test.model_path:
+        warn_impl_mismatch(cfg, cfg.test.model_path)
         model = create_model(cfg)
         variables = init_model(model, jax.random.PRNGKey(0), cfg.model.input_res)
         payload = load_checkpoint(cfg.test.model_path)

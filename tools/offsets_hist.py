@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Validate the fused-kernel ±4-cell y-clamp against *learned* offsets
-(VERDICT r2 item 7).
+"""Validate the fused-kernel per-site y-clamp against *learned* offsets
+(VERDICT r2 item 7; radii per VERDICT r3 item 1).
 
 Loads a trained dla_34 checkpoint, captures every DCN site's offset-conv
 output over validation images (flax capture_intermediates), histograms the
@@ -78,6 +78,8 @@ def main():
                 for k, v in tree.items():
                     yield from walk(v, f"{path}/{k}" if path else k)
 
+    from centerpose_tpu.ops.dcn_pallas import resolve_max_dy
+
     sites = []
     worst = 0.0
     for path, om in sorted(walk(inter)):
@@ -87,9 +89,12 @@ def main():
         dy = off[..., 0].ravel()
         dx = off[..., 1].ravel()
         ady, adx = np.abs(dy), np.abs(dx)
+        hw = om.shape[1]
+        md = resolve_max_dy(hw, om.shape[2], 1, 1)  # radius is width-keyed
         row = {
             "site": path,
             "shape": list(om.shape[1:3]),
+            "max_dy": int(md),
             "dy_p50": round(float(np.percentile(ady, 50)), 4),
             "dy_p99": round(float(np.percentile(ady, 99)), 4),
             "dy_max": round(float(ady.max()), 4),
@@ -97,9 +102,10 @@ def main():
             "dx_p99": round(float(np.percentile(adx, 99)), 4),
             "dx_max": round(float(adx.max()), 4),
             "frac_dy_gt1": round(float((ady > 1.0).mean()), 6),
-            "frac_dy_gt4_clamped": round(float((ady > 4.0).mean()), 6),
+            "frac_dy_gt4": round(float((ady > 4.0).mean()), 6),
+            "frac_dy_clamped": round(float((ady > md).mean()), 6),
         }
-        worst = max(worst, row["frac_dy_gt4_clamped"])
+        worst = max(worst, row["frac_dy_clamped"])
         sites.append(row)
         print(json.dumps(row), flush=True)
     print(f"worst clamp-binding fraction across sites: {worst:.6f}",

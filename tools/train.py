@@ -58,6 +58,7 @@ def main():
     from centerpose_tpu.models.factory import create_model
     from centerpose_tpu.parallel.mesh import create_mesh
     from centerpose_tpu.train.checkpoints import (
+        ckpt_meta,
         load_checkpoint,
         restore_state,
         save_checkpoint,
@@ -186,10 +187,11 @@ def main():
         logger.log_stats("train", epoch, total_steps, epoch_stats)
 
         if jax.process_index() == 0:
-            save_checkpoint(last_path, state, epoch)
+            save_checkpoint(last_path, state, epoch, meta=ckpt_meta(cfg))
             if cfg.train.save_all:
                 save_checkpoint(
-                    os.path.join(logger.log_dir, f"model_{epoch}"), state, epoch
+                    os.path.join(logger.log_dir, f"model_{epoch}"), state,
+                    epoch, meta=ckpt_meta(cfg),
                 )
 
         if cfg.train.val_intervals > 0 and epoch % cfg.train.val_intervals == 0:
@@ -224,7 +226,8 @@ def main():
                 if metric > best_metric:
                     best_metric = metric
                     save_checkpoint(
-                        os.path.join(logger.log_dir, "model_best"), state, epoch
+                        os.path.join(logger.log_dir, "model_best"), state,
+                        epoch, meta=ckpt_meta(cfg),
                     )
                     logger.write(f"new best (val AP {metric:.4f}) at epoch {epoch}")
 

@@ -54,6 +54,7 @@ def site_check(offset_scale: float, seed: int = 0):
         dcn_v2_pallas,
         pallas_supported,
         pallas_vmem_bytes,
+        resolve_max_dy,
     )
 
     rows = []
@@ -82,11 +83,12 @@ def site_check(offset_scale: float, seed: int = 0):
         )
         b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
 
-        # XLA reference with the kernel's y-clamp applied, so this isolates
-        # gather/arith fidelity from the documented clamp semantics...
+        # XLA reference with the kernel's per-site y-clamp applied, so this
+        # isolates gather/arith fidelity from the documented clamp semantics...
+        md = float(resolve_max_dy(hw, hw, cin, cout))
         offc = off.reshape(1, hw, hw, 9, 2)
         offc = jnp.stack(
-            [jnp.clip(offc[..., 0], -4.0, 4.0), offc[..., 1]], -1
+            [jnp.clip(offc[..., 0], -md, md), offc[..., 1]], -1
         ).reshape(1, hw, hw, 18)
         ref_clamped = np.asarray(dcn_v2_patch(x, offc, mask, w, b))
         # ...and the unclamped reference quantifies the clamp's actual effect.
@@ -100,6 +102,7 @@ def site_check(offset_scale: float, seed: int = 0):
             {
                 "site": f"{cin}->{cout} @{hw}x{hw}",
                 "fused": True,
+                "max_dy": int(md),
                 "offset_scale_px": offset_scale,
                 "rel_err_vs_clamped_xla": float(err_vs_clamped),
                 "rel_err_vs_unclamped_xla": float(err_vs_free),
@@ -110,11 +113,16 @@ def site_check(offset_scale: float, seed: int = 0):
 
 def bwd_path(hw: int, cin: int, cout: int) -> str:
     """Which backward a site takes under dcn_impl=pallas_full."""
-    from centerpose_tpu.ops.dcn_pallas import _grouped_bwd_ok, _rowmajor_dx_ok
+    from centerpose_tpu.ops.dcn_pallas import (
+        _grouped_bwd_ok,
+        _rowmajor_dx_ok,
+        resolve_max_dy,
+    )
 
-    if _grouped_bwd_ok(hw, hw, cin, cout):
+    md = resolve_max_dy(hw, hw, cin, cout)
+    if _grouped_bwd_ok(hw, hw, cin, cout, md):
         return "grouped"
-    if _rowmajor_dx_ok(hw, hw, cin, cout):
+    if _rowmajor_dx_ok(hw, hw, cin, cout, md):
         return "rowmajor_dx_split"
     return "xla"
 
@@ -126,13 +134,14 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
     import jax
     import jax.numpy as jnp
 
-    from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas
+    from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas, resolve_max_dy
     from centerpose_tpu.ops.dcn import dcn_v2_patch
 
     rows = []
     rng = np.random.default_rng(seed)
     for cin, cout, hw in DLA34_DCN_SITES:
         path = bwd_path(hw, cin, cout)
+        md = float(resolve_max_dy(hw, hw, cin, cout))
         if path == "xla":
             rows.append({"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": False})
             continue
@@ -151,7 +160,7 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
         def loss_xla(x, off, mask, w, b):
             offc = off.reshape(*off.shape[:-1], 9, 2)
             offc = jnp.stack(
-                [jnp.clip(offc[..., 0], -4.0, 4.0), offc[..., 1]], -1
+                [jnp.clip(offc[..., 0], -md, md), offc[..., 1]], -1
             ).reshape(off.shape)
             return (dcn_v2_patch(x, offc, mask, w, b) ** 2).sum()
 
@@ -171,7 +180,7 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
         kx = np.tile(np.arange(3) - 1, 3).astype(np.float32)
         yy = np.arange(hw, dtype=np.float32)[None, :, None, None]
         xx = np.arange(hw, dtype=np.float32)[None, None, :, None]
-        fy = yy + ky[None, None, None, :] + np.clip(offn[..., 0], -4.0, 4.0)
+        fy = yy + ky[None, None, None, :] + np.clip(offn[..., 0], -md, md)
         fx = xx + kx[None, None, None, :] + offn[..., 1]
 
         def knife(v):
@@ -186,7 +195,8 @@ def bwd_check(seed: int = 0, offset_scale: float = 2.0, batch: int = 2):
         # complexity, so their rel-errs carry a residual exposure of
         # `knife_edge_taps` taps — interpret spikes there accordingly.
         row = {"site": f"{cin}->{cout} @{hw}x{hw}", "fused_bwd": True,
-               "bwd_path": path, "knife_edge_taps": int(edge.sum())}
+               "bwd_path": path, "max_dy": int(md),
+               "knife_edge_taps": int(edge.sum())}
         for name, p, r in zip(("dx", "doffset", "dmask", "dweight", "dbias"),
                               gp, gx):
             p = np.asarray(p)
