@@ -119,17 +119,7 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
             d = di + (ky - max_dy)  # source-row offset band
             dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32),
                           -max_dy, max_dy)
-            dxo = off_ref[0, :, 2 * k + 1, :].astype(f32)
             mk = mask_ref[0, :, k, :].astype(f32)
-
-            sx = lane_x + kx + dxo
-            x0 = jnp.floor(sx)
-            wx1 = sx - x0
-            wx0 = 1.0 - wx1
-            v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
-            v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
-            xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-            xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
 
             fy = ky + dy
             y0f = jnp.floor(fy)
@@ -137,19 +127,37 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
             df = d.astype(f32)
             wy_d = ((y0f == df).astype(f32) * (1.0 - wy1)
                     + (y0f == df - 1.0).astype(f32) * wy1)
-            w0 = wy_d * mk * wx0 * v0
-            w1 = wy_d * mk * wx1 * v1
-            at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
-                  + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
-                  ).astype(z_ref.dtype)
 
-            # source rows t + d live at slab index s + d + PAD
-            z_rows = z_ref[pl.ds(PAD + d, 8), k * cout:(k + 1) * cout, :]
-            contrib = lax.dot_general(
-                z_rows, at, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [8, Cout, W(pix)]
-            o_ref[0] = o_ref[0] + contrib
+            # DATA-DEPENDENT BAND SKIP: a band contributes only where some
+            # pixel's floor(y) lands in it.  Learned offsets are small at
+            # p50 (offsets_hist.json), so most of the 2R+2 bands are empty —
+            # skipping the one-hot build + two MXU dots makes the wide
+            # per-site clamp radii nearly free at typical offsets.
+            @pl.when(jnp.sum(wy_d) > 0.0)
+            def _band():
+                dxo = off_ref[0, :, 2 * k + 1, :].astype(f32)
+                sx = lane_x + kx + dxo
+                x0 = jnp.floor(sx)
+                wx1 = sx - x0
+                wx0 = 1.0 - wx1
+                v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+                v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+                xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+                xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+                w0 = wy_d * mk * wx0 * v0
+                w1 = wy_d * mk * wx1 * v1
+                at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
+                      + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
+                      ).astype(z_ref.dtype)
+
+                # source rows t + d live at slab index s + d + PAD
+                z_rows = z_ref[pl.ds(PAD + d, 8), k * cout:(k + 1) * cout, :]
+                contrib = lax.dot_general(
+                    z_rows, at, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # [8, Cout, W(pix)]
+                o_ref[0] = o_ref[0] + contrib
+
             return 0
 
         lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
@@ -295,24 +303,33 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
         def m_body(mi, _, *, k=k):
             m = mi + m_lo
             mf = m.astype(f32)
-            at = jnp.zeros((br, 128, 128), f32)
-            for cy, wyc in ((0, wy0), (1, wy1)):
-                gp = lane_g + y0f + cy
-                mu = (jnp.floor(gp / grp) == mf).astype(f32)
-                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
-                li0 = gl * w + xi0
-                li1 = gl * w + xi1
-                w0 = mu * wyc * mk * wx0 * v0
-                w1 = mu * wyc * mk * wx1 * v1
-                at = (at
-                      + w0[:, None, :] * (li0[:, None, :] == iota_sub).astype(f32)
-                      + w1[:, None, :] * (li1[:, None, :] == iota_sub).astype(f32))
-            z_rows = z_ref[pl.ds(PAD + m, br), :, :]  # [br, Cout, 128src]
-            contrib = lax.dot_general(
-                z_rows, at.astype(z_ref.dtype), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [br, Cout, 128pix]
-            o_ref[0] = o_ref[0] + contrib
+            g0 = lane_g + y0f
+            mu0 = (jnp.floor(g0 / grp) == mf).astype(f32)
+            mu1 = (jnp.floor((g0 + 1.0) / grp) == mf).astype(f32)
+
+            # DATA-DEPENDENT SLAB SKIP: slab m only matters where some
+            # pixel's source group-row lands in it; with small learned
+            # offsets only ~2 of the ceil(R/grp) slabs are populated.
+            @pl.when(jnp.sum(mu0) + jnp.sum(mu1) > 0.0)
+            def _slab():
+                at = jnp.zeros((br, 128, 128), f32)
+                for cy, mu, wyc in ((0.0, mu0, wy0), (1.0, mu1, wy1)):
+                    gp = lane_g + y0f + cy
+                    gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
+                    li0 = gl * w + xi0
+                    li1 = gl * w + xi1
+                    w0 = mu * wyc * mk * wx0 * v0
+                    w1 = mu * wyc * mk * wx1 * v1
+                    at = (at
+                          + w0[:, None, :] * (li0[:, None, :] == iota_sub).astype(f32)
+                          + w1[:, None, :] * (li1[:, None, :] == iota_sub).astype(f32))
+                z_rows = z_ref[pl.ds(PAD + m, br), :, :]  # [br, Cout, 128src]
+                contrib = lax.dot_general(
+                    z_rows, at.astype(z_ref.dtype), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # [br, Cout, 128pix]
+                o_ref[0] = o_ref[0] + contrib
+
             return 0
 
         lax.fori_loop(0, m_hi - m_lo + 1, m_body, 0)
@@ -482,63 +499,75 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
         # cols += mk * sample_M (for dW), and dx's scatter matrix is just
         # mk-scaled M: updates = (dcols*mk) . M^T.  All matrices assemble
         # in bf16 to keep the per-iteration kernel stack under the cap.
-        def m_body(mi, carry, *, ky=ky, k=k):
-            dm_acc, ddy_acc, ddx_acc = carry
+        # accumulate into the output block slices directly so the whole
+        # slab body can sit under a data-dependent skip; the constant
+        # mk/clamp_pass factors distribute over the sum
+        dmask_ref[0, :, k, :] = jnp.zeros((br, 128), f32)
+        doff_ref[0, :, 2 * k, :] = jnp.zeros((br, 128), f32)
+        doff_ref[0, :, 2 * k + 1, :] = jnp.zeros((br, 128), f32)
+
+        def m_body(mi, _, *, ky=ky, k=k):
             m = mi + m_lo
             mf = m.astype(f32)
             bf = jnp.bfloat16
-            mmat = jnp.zeros((br, 128, 128), bf)
-            fmat = jnp.zeros((br, 128, 128), bf)
-            ymat = jnp.zeros((br, 128, 128), bf)
-            for cy, wyc, sgn in ((0, wy0, -1.0), (1, wy1, 1.0)):
-                gp = lane_g + y0f + cy
-                mu = (jnp.floor(gp / grp) == mf).astype(f32)
-                gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
-                li0 = gl * w + xi0
-                li1 = gl * w + xi1
-                oh0 = (li0[:, None, :] == iota_sub3).astype(bf)
-                oh1 = (li1[:, None, :] == iota_sub3).astype(bf)
-                e = ((mu * wx0 * v0).astype(bf)[:, None, :] * oh0
-                     + (mu * wx1 * v1).astype(bf)[:, None, :] * oh1)
-                fm = ((mu * v1).astype(bf)[:, None, :] * oh1
-                      - (mu * v0).astype(bf)[:, None, :] * oh0)
-                wyb = wyc.astype(bf)[:, None, :]
-                mmat = mmat + wyb * e
-                fmat = fmat + wyb * fm
-                ymat = ymat + jnp.asarray(sgn, bf) * e
-            x_rows = x_ref[0, pl.ds(i * br + m + pad_g, br), :, :].astype(bf)
-            dc = dcols_ref[...]  # [br, C, 128] f32
+            g0 = lane_g + y0f
+            mu0 = (jnp.floor(g0 / grp) == mf).astype(f32)
+            mu1 = (jnp.floor((g0 + 1.0) / grp) == mf).astype(f32)
 
-            def samp(mat):  # [br, C, pix]
-                return lax.dot_general(
-                    x_rows, mat, (((2,), (1,)), ((0,), (0,))),
+            # slab skip (see _dcn_grouped_kernel): empty slabs cost two
+            # reduces instead of three one-hot builds + four MXU dots
+            @pl.when(jnp.sum(mu0) + jnp.sum(mu1) > 0.0)
+            def _slab():
+                mmat = jnp.zeros((br, 128, 128), bf)
+                fmat = jnp.zeros((br, 128, 128), bf)
+                ymat = jnp.zeros((br, 128, 128), bf)
+                for cy, mu, wyc, sgn in (
+                    (0.0, mu0, wy0, -1.0), (1.0, mu1, wy1, 1.0)
+                ):
+                    gp = lane_g + y0f + cy
+                    gl = jnp.clip((gp - mf * grp).astype(jnp.int32), 0, grp - 1)
+                    li0 = gl * w + xi0
+                    li1 = gl * w + xi1
+                    oh0 = (li0[:, None, :] == iota_sub3).astype(bf)
+                    oh1 = (li1[:, None, :] == iota_sub3).astype(bf)
+                    e = ((mu * wx0 * v0).astype(bf)[:, None, :] * oh0
+                         + (mu * wx1 * v1).astype(bf)[:, None, :] * oh1)
+                    fm = ((mu * v1).astype(bf)[:, None, :] * oh1
+                          - (mu * v0).astype(bf)[:, None, :] * oh0)
+                    wyb = wyc.astype(bf)[:, None, :]
+                    mmat = mmat + wyb * e
+                    fmat = fmat + wyb * fm
+                    ymat = ymat + jnp.asarray(sgn, bf) * e
+                x_rows = x_ref[0, pl.ds(i * br + m + pad_g, br), :, :].astype(bf)
+                dc = dcols_ref[...]  # [br, C, 128] f32
+
+                def samp(mat):  # [br, C, pix]
+                    return lax.dot_general(
+                        x_rows, mat, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=f32,
+                    )
+
+                s_m = samp(mmat)
+                dmask_ref[0, :, k, :] += jnp.sum(dc * s_m, axis=1)
+                cols_ref[...] = cols_ref[...] + mk[:, None, :] * s_m
+                # dx: scatter matrix is mk-scaled M; NT dot over pixels
+                updates = lax.dot_general(
+                    (dc * mk[:, None, :]).astype(bf), mmat,
+                    (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                )
+                )  # [br, C, 128src]: sublane s scatters into row base+m+s
+                base = i * br + m + pad_g
+                window = dx_ref[0, pl.ds(base, br), :, :]
+                dx_ref[0, pl.ds(base, br), :, :] = window + updates
 
-            s_m = samp(mmat)
-            dm_acc = dm_acc + jnp.sum(dc * s_m, axis=1)
-            cols_ref[...] = cols_ref[...] + mk[:, None, :] * s_m
-            # dx: scatter matrix is mk-scaled M; NT dot over pixels
-            updates = lax.dot_general(
-                (dc * mk[:, None, :]).astype(bf), mmat,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [br, C, 128src]: sublane s scatters into row base+m+s
-            base = i * br + m + pad_g
-            window = dx_ref[0, pl.ds(base, br), :, :]
-            dx_ref[0, pl.ds(base, br), :, :] = window + updates
+                doff_ref[0, :, 2 * k + 1, :] += (
+                    jnp.sum(dc * samp(fmat), axis=1) * mk)
+                doff_ref[0, :, 2 * k, :] += (
+                    jnp.sum(dc * samp(ymat), axis=1) * mk * clamp_pass)
 
-            ddx_acc = ddx_acc + jnp.sum(dc * samp(fmat), axis=1)
-            ddy_acc = ddy_acc + jnp.sum(dc * samp(ymat), axis=1)
-            return dm_acc, ddy_acc, ddx_acc
+            return 0
 
-        zero = jnp.zeros((br, 128), f32)
-        dm_acc, ddy_acc, ddx_acc = lax.fori_loop(
-            0, m_hi - m_lo + 1, m_body, (zero, zero, zero)
-        )
-        dmask_ref[0, :, k, :] = dm_acc
-        doff_ref[0, :, 2 * k, :] = ddy_acc * mk * clamp_pass
-        doff_ref[0, :, 2 * k + 1, :] = ddx_acc * mk
+        lax.fori_loop(0, m_hi - m_lo + 1, m_body, 0)
 
         # dW_k += cols x ct  (accumulated across the whole grid)
         for s in range(br):
@@ -698,17 +727,7 @@ def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
             d = di + (ky - max_dy)  # traced band offset
             sl = pl.ds(PAD - d, 8)  # slab rows j = (i*8 + s) - d
             dy = jnp.clip(off_s[sl, 2 * k, :].astype(f32), -max_dy, max_dy)
-            dxo = off_s[sl, 2 * k + 1, :].astype(f32)
             mk = mask_s[sl, k, :].astype(f32)
-
-            sx = lane_x + kx + dxo
-            x0 = jnp.floor(sx)
-            wx1 = sx - x0
-            wx0 = 1.0 - wx1
-            v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
-            v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
-            xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-            xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
 
             fy = ky + dy
             y0f = jnp.floor(fy)
@@ -718,19 +737,33 @@ def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
             df = d.astype(f32)
             wy_d = ((y0f == df).astype(f32) * (1.0 - wy1)
                     + (y0f == df - 1.0).astype(f32) * wy1)
-            w0 = wy_d * mk * wx0 * v0
-            w1 = wy_d * mk * wx1 * v1
-            # at[row, src, pix]: masks broadcast along sublanes (cheap)
-            at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
-                  + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
-                  ).astype(jnp.bfloat16)
 
-            rows = dcols_s[sl, k * cin:(k + 1) * cin, :]  # [8, Cin, W(pix)]
-            contrib = lax.dot_general(
-                rows, at, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [8, Cin, W(src)]
-            dx_ref[0] = dx_ref[0] + contrib
+            # band skip (see _dcn_kernel): empty bands cost one reduce
+            @pl.when(jnp.sum(wy_d) > 0.0)
+            def _band():
+                dxo = off_s[sl, 2 * k + 1, :].astype(f32)
+                sx = lane_x + kx + dxo
+                x0 = jnp.floor(sx)
+                wx1 = sx - x0
+                wx0 = 1.0 - wx1
+                v0 = ((x0 >= 0) & (x0 <= w - 1)).astype(f32)
+                v1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(f32)
+                xi0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+                xi1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+                w0 = wy_d * mk * wx0 * v0
+                w1 = wy_d * mk * wx1 * v1
+                # at[row, src, pix]: masks broadcast along sublanes (cheap)
+                at = (w0[:, None, :] * (xi0[:, None, :] == iota_sub).astype(f32)
+                      + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
+                      ).astype(jnp.bfloat16)
+
+                rows = dcols_s[sl, k * cin:(k + 1) * cin, :]  # [8, Cin, W(pix)]
+                contrib = lax.dot_general(
+                    rows, at, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # [8, Cin, W(src)]
+                dx_ref[0] = dx_ref[0] + contrib
+
             return 0
 
         lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
@@ -867,50 +900,55 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
         y0f = jnp.floor(fy)
         wy1f = fy - y0f
 
-        def d_body(di, carry, *, ky=ky, k=k):
-            dm_acc, ddy_acc, ddx_acc = carry
+        # accumulate directly into the output block slices so the whole
+        # band body can sit under a data-dependent skip (pl.when takes no
+        # carries); clamp_pass/mk factors distribute over the sum
+        dmask_ref[0, :, k, :] = jnp.zeros((8, w), f32)
+        doff_ref[0, :, 2 * k, :] = jnp.zeros((8, w), f32)
+        doff_ref[0, :, 2 * k + 1, :] = jnp.zeros((8, w), f32)
+
+        def d_body(di, _, *, ky=ky, k=k):
             d = di + (ky - max_dy)
             df = d.astype(f32)
             m0 = (y0f == df).astype(f32)
             m1 = (y0f == df - 1.0).astype(f32)
-            wy_d = m0 * (1.0 - wy1f) + m1 * wy1f
-            s_d = m1 - m0
 
-            oh0 = (xi0[:, None, :] == iota_sub).astype(f32)
-            oh1 = (xi1[:, None, :] == iota_sub).astype(f32)
-            mmat = ((wx0 * v0)[:, None, :] * oh0
-                    + (wx1 * v1)[:, None, :] * oh1).astype(bf16)
-            dmat = (v1[:, None, :] * oh1 - v0[:, None, :] * oh0).astype(bf16)
+            # band skip (see _dcn_kernel): empty bands cost two reduces
+            @pl.when(jnp.sum(m0) + jnp.sum(m1) > 0.0)
+            def _band():
+                wy_d = m0 * (1.0 - wy1f) + m1 * wy1f
+                s_d = m1 - m0
+                oh0 = (xi0[:, None, :] == iota_sub).astype(f32)
+                oh1 = (xi1[:, None, :] == iota_sub).astype(f32)
+                mmat = ((wx0 * v0)[:, None, :] * oh0
+                        + (wx1 * v1)[:, None, :] * oh1).astype(bf16)
+                dmat = (v1[:, None, :] * oh1
+                        - v0[:, None, :] * oh0).astype(bf16)
 
-            x_rows = xs_ref[pl.ds(PAD + d, 8), :cin, :].astype(bf16)
-            samples_m = lax.dot_general(
-                x_rows, mmat, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # [8, Cin, W]
-            samples_d = lax.dot_general(
-                x_rows, dmat, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )
+                x_rows = xs_ref[pl.ds(PAD + d, 8), :cin, :].astype(bf16)
+                samples_m = lax.dot_general(
+                    x_rows, mmat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # [8, Cin, W]
+                samples_d = lax.dot_general(
+                    x_rows, dmat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
 
-            dc = dcols_ref[...].astype(f32)
-            r_m = jnp.sum(dc * samples_m, axis=1)  # [8, W]
-            r_d = jnp.sum(dc * samples_d, axis=1)
+                dc = dcols_ref[...].astype(f32)
+                r_m = jnp.sum(dc * samples_m, axis=1)  # [8, W]
+                r_d = jnp.sum(dc * samples_d, axis=1)
 
-            dm_acc = dm_acc + wy_d * r_m
-            ddy_acc = ddy_acc + s_d * mk * r_m
-            ddx_acc = ddx_acc + wy_d * mk * r_d
-            cols_ref[...] = cols_ref[...] + (
-                (wy_d * mk)[:, None, :] * samples_m
-            )
-            return dm_acc, ddy_acc, ddx_acc
+                dmask_ref[0, :, k, :] += wy_d * r_m
+                doff_ref[0, :, 2 * k, :] += s_d * mk * r_m * clamp_pass
+                doff_ref[0, :, 2 * k + 1, :] += wy_d * mk * r_d
+                cols_ref[...] = cols_ref[...] + (
+                    (wy_d * mk)[:, None, :] * samples_m
+                )
 
-        zero = jnp.zeros((8, w), f32)
-        dm_acc, ddy_acc, ddx_acc = lax.fori_loop(
-            0, 2 * max_dy + 2, d_body, (zero, zero, zero)
-        )
-        dmask_ref[0, :, k, :] = dm_acc
-        doff_ref[0, :, 2 * k, :] = ddy_acc * clamp_pass
-        doff_ref[0, :, 2 * k + 1, :] = ddx_acc
+            return 0
+
+        lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
 
         # dW_k += cols . ct^T (contract pixels), accumulated across the grid
         for s in range(8):
