@@ -112,10 +112,27 @@ def evaluate_detector(
                 img_id, per_scale, pre_dt = pre_futs.popleft().result()
                 times["pre"] += pre_dt
                 t_disp = time.time()
-                dets_devs = [
-                    detector._process_fn(detector.variables, jnp.asarray(images))
-                    for images, _ in per_scale
-                ]
+                shapes = {im.shape for im, _ in per_scale}
+                if len(per_scale) > 1 and len(shapes) == 1:
+                    # fix_res warps EVERY scale to the same input size, so
+                    # all scales ride ONE device call: [origs...; flips...]
+                    # keeps process()'s flip-averaging split (n = batch//2)
+                    # aligned per scale.  3x fewer dispatches and a 3x
+                    # bigger conv batch for the MXU than the serial loop.
+                    per = per_scale[0][0].shape[0]  # 1, or 2 under flip_test
+                    batched = [im[0] for im, _ in per_scale]
+                    if per == 2:
+                        batched += [im[1] for im, _ in per_scale]
+                    dets_all = detector._process_fn(
+                        detector.variables, jnp.asarray(np.stack(batched)))
+                    dets_devs = [dets_all[i:i + 1]
+                                 for i in range(len(per_scale))]
+                else:
+                    dets_devs = [
+                        detector._process_fn(detector.variables,
+                                             jnp.asarray(images))
+                        for images, _ in per_scale
+                    ]
                 metas = [meta for _, meta in per_scale]
                 device_q.append((img_id, dets_devs, metas, t_disp))
                 if more:

@@ -478,8 +478,9 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
         wy1 = fy - y0f
         wy0 = 1.0 - wy1
 
-        # dcols_k = W_k x ct^T  -> [C, 128] per sublane
-        wk = w_ref[k * cin:(k + 1) * cin, :]
+        # dcols_k = W_k x ct^T  -> [C, 128] per sublane.  w_ref may be
+        # stored bf16 (compact mode, the 512-cin site); upcast for the dot.
+        wk = w_ref[k * cin:(k + 1) * cin, :].astype(f32)
         for s in range(br):
             dcols_ref[s] = lax.dot_general(
                 wk, ct_ref[0, s], (((1,), (1,)), ((), ())),
@@ -577,8 +578,15 @@ def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
             )
 
 
-def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
-    """XLA wrapper: grouped prep, kernel call, un-group the gradients."""
+def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy,
+                                 compact=None):
+    """XLA wrapper: grouped prep, kernel call, un-group the gradients.
+
+    ``compact`` stores x and w in VMEM as bf16 (halving their footprint) —
+    the kernel casts x to bf16 at every use anyway and upcasts w, so the
+    only numeric delta is the one-time bf16 rounding of the weights.  Auto
+    (None): compact iff the f32 layout does not fit the VMEM cap — in
+    DLA-34 that is exactly the 512->256 @16x16 site."""
     import math
 
     b, h, w, cin = x.shape
@@ -589,13 +597,16 @@ def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy):
     k = kh * kw
     shift = max_dy + 1
     pad_g = math.ceil((shift + 1) / grp)
+    if compact is None:
+        compact = _grouped_bwd_mode(h, w, cin, cout, max_dy) == "compact"
+    buf_dtype = jnp.bfloat16 if compact else jnp.float32
 
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
     xt = jnp.pad(xt, ((0, 0), (pad_g * grp, pad_g * grp), (0, 0), (0, 0)))
-    xg = _group_rows(xt, grp)
+    xg = _group_rows(xt, grp).astype(buf_dtype)
     offg = _group_rows(jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32), grp)
     maskg = _group_rows(jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32), grp)
-    wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
+    wmat = weight.reshape(k * cin, cout).astype(buf_dtype)
     ctg = ct.astype(jnp.float32).reshape(b, hg, grp * w, cout)
 
     grid = (b, hg // br)
@@ -1147,41 +1158,61 @@ def _grouped_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
     return grouped_vmem_bytes(h, w, cin, cout, max_dy) <= _VMEM_LIMIT
 
 
-def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int,
-                    max_dy: int = 4) -> bool:
-    """Eligibility for the fused backward (grouped layout, W<=64).
-
-    W=128 is excluded: measured on v5e, the 64->64 @128x128 backward needs
-    28.5M scoped VMEM (the f32 dx accumulator + fwd-recompute buffers for a
-    whole 128-row image) against the 16M cap; that site's backward runs the
-    split dx-kernel path instead.  Estimate mirrors the bwd kernel's own
-    buffers (whole grouped image + dx accumulator resident, unlike the
-    slab-DMA forward)."""
-    if w not in (16, 32, 64) or 128 % w:
-        return False
-    grp = 128 // w
-    hg, rem = divmod(h, grp)
-    if rem:
-        return False
-    br = min(8, hg)
-    if hg % br:
-        return False
+def _grouped_bwd_vmem(h: int, w: int, cin: int, cout: int, max_dy: int,
+                      compact: bool) -> int:
+    """Scoped-VMEM estimate for the grouped backward.  Mirrors the kernel's
+    own buffers (whole grouped image + dx accumulator resident, unlike the
+    slab-DMA forward); x/dx block indices only change across the (outer,
+    slow) batch grid dim, so they are not double-buffered per step
+    (calibrated: the 128ch @64x64 backward compiles and runs on v5e at
+    ~12M estimated).  ``compact`` stores x and w as bf16 (x is cast to
+    bf16 at every use anyway)."""
     import math
 
+    grp = 128 // w
+    hg = h // grp
+    br = min(8, hg)
     pad_g = math.ceil((max_dy + 2) / grp)
-    hpad = _roundup(hg + 2 * pad_g, 8)
-    # x/dx block indices only change across the (outer, slow) batch grid
-    # dim, so they are not double-buffered per step (calibrated: the
-    # 128ch @64x64 backward compiles and runs on v5e at ~12M estimated)
-    x_blk = 4 * hpad * _roundup(cin, 8) * 128
+    hpad = hg + 2 * pad_g  # exact: hpad is an outer dim, no 8-row tiling
+    xb = 2 if compact else 4
+    x_blk = xb * hpad * _roundup(cin, 8) * 128
     dx_buf = 4 * hpad * _roundup(cin, 8) * 128
     cols = 2 * 4 * br * _roundup(cin, 8) * 128  # cols + dcols scratch
     ct_blk = 2 * 4 * br * 128 * _roundup(cout, 128)
     doffm = 2 * 4 * br * (_roundup(18, 8) + 2 * _roundup(9, 8)) * 128
-    w_bufs = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128) * 2  # w + dw
+    w_in = xb * _roundup(9 * cin, 8) * _roundup(cout, 128)
+    dw = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)
     a_buf = 4 * br * 128 * 128
-    return (x_blk + dx_buf + cols + ct_blk + doffm + w_bufs
-            + a_buf) <= _VMEM_LIMIT
+    return (x_blk + dx_buf + cols + ct_blk + doffm + w_in + dw + a_buf)
+
+
+def _grouped_bwd_mode(h: int, w: int, cin: int, cout: int,
+                      max_dy: int = 4):
+    """'f32' / 'compact' / None: which grouped-backward layout fits.
+
+    W=128 is excluded: measured on v5e, the 64->64 @128x128 backward needs
+    28.5M scoped VMEM against the 16M cap even before the envelope; that
+    site's backward runs the split dx-kernel path instead."""
+    if w not in (16, 32, 64) or 128 % w:
+        return None
+    grp = 128 // w
+    hg, rem = divmod(h, grp)
+    if rem:
+        return None
+    br = min(8, hg)
+    if hg % br:
+        return None
+    if _grouped_bwd_vmem(h, w, cin, cout, max_dy, False) <= _VMEM_LIMIT:
+        return "f32"
+    if _grouped_bwd_vmem(h, w, cin, cout, max_dy, True) <= _VMEM_LIMIT:
+        return "compact"
+    return None
+
+
+def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int,
+                    max_dy: int = 4) -> bool:
+    """Eligibility for the fused backward (grouped layout, W<=64)."""
+    return _grouped_bwd_mode(h, w, cin, cout, max_dy) is not None
 
 
 def pallas_supported(
