@@ -100,9 +100,11 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
     lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
     iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)  # src on sublanes
 
-    # Tap-projected activations for every slab row: z[j] = W^T x[j] on the
-    # MXU ([K*Cout, Cin] @ [Cin, W]), stored bf16 for the band dots.
-    for j in range(SLAB):
+    # Tap-projected activations for every slab row the band loop can read
+    # ([PAD-1-max_dy, PAD+max_dy+10)): z[j] = W^T x[j] on the MXU
+    # ([K*Cout, Cin] @ [Cin, W]), stored bf16 for the band dots.
+    for j in range(max(0, PAD - 1 - max_dy),
+                   min(SLAB, PAD + max_dy + 2 + 8)):
         zj = lax.dot_general(
             w_ref[...], xs_ref[j][:cin].astype(f32),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
@@ -270,9 +272,11 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
         ky, kx = k // 3 - 1, k % 3 - 1
 
         # tap-projected slab rows: z[j] = W_k^T x[j] on the MXU (bf16 in,
-        # f32 accumulate — w_ref is stored bf16 to fit the 512-cin site)
+        # f32 accumulate — w_ref is stored bf16 to fit the 512-cin site).
+        # Only rows the slab loop can read need projecting: [PAD+m_lo,
+        # PAD+m_hi+br) — at the 16^2 site that is 10 of 24 rows.
         wk = w_ref[k * cout:(k + 1) * cout, :]
-        for j in range(SLAB):
+        for j in range(PAD + m_lo, min(SLAB, PAD + m_hi + br)):
             zj = lax.dot_general(
                 wk, xs_ref[j][:cin].astype(w_ref.dtype),
                 (((1,), (0,)), ((), ())),

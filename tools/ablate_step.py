@@ -100,8 +100,11 @@ def main():
         from centerpose_tpu.train.checkpoints import load_checkpoint
 
         payload = load_checkpoint(args.ckpt)
-        variables = {"params": payload["params"],
-                     "batch_stats": payload["batch_stats"]}
+        # device_put NOW: checkpoint leaves are host numpy arrays, and the
+        # tunneled H2D (~20 MB/s) would otherwise re-upload ~80 MB of
+        # params on every timed call (memory: tpu-sandbox-measurement-traps)
+        variables = jax.device_put({"params": payload["params"],
+                                    "batch_stats": payload["batch_stats"]})
         offsets_src = f"learned ({args.ckpt})"
     else:
         variables = perturb_offset_convs(variables)
@@ -125,6 +128,7 @@ def main():
     rows["infer_full_ms"] = round(timeit(full_infer, variables, x), 2)
     rows["infer_fwd_only_ms"] = round(timeit(fwd_only, variables, x), 2)
     rows["decode_ms"] = round(rows["infer_full_ms"] - rows["infer_fwd_only_ms"], 2)
+    print(json.dumps(rows), flush=True)
 
     # trunk alone (stride-1..32 pyramid, no DCN anywhere)
     trunk = DLATrunk(dtype=jnp.bfloat16)
@@ -157,12 +161,15 @@ def main():
         rows["infer_fwd_convsub_ms"] - rows["trunk_ms"], 2)
 
     # --- train decomposition ---
-    def train_ms(cfg, model):
+    def train_ms(cfg, model, use_weights=True):
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100)
-        if args.ckpt:
+        # the conv-substitution model has no conv_offset_mask params, so
+        # the checkpoint tree does not apply (and its weights do not affect
+        # timing); only the DCN variants carry the learned offsets
+        if use_weights and args.ckpt:
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
-        else:
+        elif use_weights:
             state = state.replace(
                 params=perturb_offset_convs({"p": state.params})["p"])
         step = make_train_step(model, cfg, mesh=None)
@@ -181,8 +188,10 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3
 
     rows["train_full_ms"] = round(train_ms(cfg, model), 2)
+    print(json.dumps(rows), flush=True)
     cfg_c, model_c = build("conv")
-    rows["train_convsub_ms"] = round(train_ms(cfg_c, model_c), 2)
+    rows["train_convsub_ms"] = round(
+        train_ms(cfg_c, model_c, use_weights=False), 2)
     rows["train_dcn_total_cost_ms"] = round(
         rows["train_full_ms"] - rows["train_convsub_ms"], 2)
 
