@@ -115,14 +115,11 @@ def evaluate_detector(
                 shapes = {im.shape for im, _ in per_scale}
                 if len(per_scale) > 1 and len(shapes) == 1:
                     # fix_res warps EVERY scale to the same input size, so
-                    # all scales ride ONE device call: [origs...; flips...]
-                    # keeps process()'s flip-averaging split (n = batch//2)
-                    # aligned per scale.  3x fewer dispatches and a 3x
-                    # bigger conv batch for the MXU than the serial loop.
-                    per = per_scale[0][0].shape[0]  # 1, or 2 under flip_test
+                    # all scales ride ONE device call (flip halves are
+                    # built on device by process(), so the upload is just
+                    # the originals).  3x fewer dispatches and a bigger
+                    # conv batch for the MXU than the serial loop.
                     batched = [im[0] for im, _ in per_scale]
-                    if per == 2:
-                        batched += [im[1] for im, _ in per_scale]
                     dets_all = detector._process_fn(
                         detector.variables, jnp.asarray(np.stack(batched)))
                     dets_devs = [dets_all[i:i + 1]

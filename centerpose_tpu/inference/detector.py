@@ -97,6 +97,12 @@ class Detector:
                 # fuses into the first conv).  float inputs are assumed
                 # already normalized (back-compat path).
                 images = (images.astype(jnp.float32) / 255.0 - mean) / std
+            if flip_test:
+                # the flipped half is BUILT ON DEVICE (a W-reverse costs
+                # nothing vs halving the H2D upload through the ~15 MB/s
+                # tunnel; output/transfer_budget.json)
+                images = jnp.concatenate(
+                    [images, images[:, :, ::-1, :]], axis=0)
             out = model.apply(variables, images, train=False)
             hm = sigmoid_clamped(out["hm"])
             hm_hp = sigmoid_clamped(out["hm_hp"]) if cfg.loss.hm_hp else None
@@ -153,10 +159,10 @@ class Detector:
             # uint8 normalization in process(): normalize them on host here.
             inp = ((inp.astype(np.float32) / 255.0 - self.mean) / self.std)
         # uint8 stays uint8: normalization happens on device (process()), so
-        # the H2D upload is 4x smaller and the host skips a float pass
+        # the H2D upload is 4x smaller and the host skips a float pass.
+        # Under flip_test the flipped half is built ON DEVICE by process()
+        # — only the original crosses H2D.
         images = inp[None]  # [1, H, W, 3]
-        if self.flip_test:
-            images = np.concatenate([images, images[:, :, ::-1, :]], axis=0)
         down = self.cfg.model.input_res // self.cfg.model.output_res
         meta = {
             "c": c,

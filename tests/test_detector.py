@@ -34,14 +34,39 @@ def test_detector_run_end_to_end():
 
 
 def test_detector_flip_test_batches_two():
+    """Under flip_test only the ORIGINAL crosses H2D; the flipped half is
+    built on device inside process() (transfer_budget: ~15 MB/s tunnel)."""
     cfg = det_cfg(flip_test=True)
     det = Detector(cfg)
     img = np.random.default_rng(0).integers(0, 255, (240, 320, 3), np.uint8)
     images, meta = det.pre_process(img)
-    assert images.shape == (2, 128, 128, 3)
-    np.testing.assert_allclose(images[1], images[0][:, ::-1, :], atol=1e-6)
+    assert images.shape == (1, 128, 128, 3)
     ret = det.run(img)
     assert ret["results"][1].shape == (100, 39)
+
+    # the on-device flip must reproduce the reference flip-average exactly:
+    # manually normalize, build the flipped half on host, run the model on
+    # batch 2, average with the flip remaps, decode — and compare with the
+    # detector's single-upload process() output.
+    from centerpose_tpu.losses import sigmoid_clamped
+    from centerpose_tpu.ops.decode import multi_pose_decode
+
+    got = np.asarray(det._process_fn(det.variables, jnp.asarray(images)))
+
+    mean = np.asarray(cfg.dataset.mean, np.float32)
+    std = np.asarray(cfg.dataset.std, np.float32)
+    norm = (images.astype(np.float32) / 255.0 - mean) / std
+    batch2 = jnp.asarray(np.concatenate([norm, norm[:, :, ::-1, :]], axis=0))
+    out = det.model.apply(det.variables, batch2, train=False)
+    hm = sigmoid_clamped(out["hm"])
+    hm_hp = sigmoid_clamped(out["hm_hp"])
+    hm = (hm[:1] + hm[1:, :, ::-1, :]) / 2.0
+    wh = (out["wh"][:1] + out["wh"][1:, :, ::-1, :]) / 2.0
+    hps = (out["hps"][:1] + flip_lr_off(out["hps"][1:])) / 2.0
+    hm_hp = (hm_hp[:1] + flip_lr(hm_hp[1:])) / 2.0
+    want = np.asarray(multi_pose_decode(
+        hm, wh, hps, out["reg"][:1], hm_hp, out["hp_offset"][:1], k=100))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_detector_multi_scale_merge():

@@ -26,6 +26,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def tunnel_h2d_MBps(reps: int = 3, mb: int = 8) -> float:
+    """Instantaneous tunnel H2D rate, recorded alongside every transfer-
+    bound row: this sandbox's TPU link is a shared tunnel whose rate swings
+    ~4-60 MB/s between sessions, so absolute img/s for video/eval rows is
+    tunnel weather unless normalized (output/transfer_budget.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    rates = []
+    for r in range(reps):
+        a = np.random.default_rng(r).integers(
+            0, 255, size=(mb << 20,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(a)
+        np.asarray(jnp.sum(d[:: 1 << 20].astype(jnp.int32)))
+        rates.append(mb / (time.perf_counter() - t0))
+    return round(max(rates), 1)
+
+
 def bench_msflip_eval(n_images: int):
     from centerpose_tpu.config import load_config
     from centerpose_tpu.data.synthetic import SyntheticEvalDataset
@@ -56,6 +75,8 @@ def bench_msflip_eval(n_images: int):
             "ms_per_batch": round(dt / n_images * 1e3, 2),
             "images_per_s": round(n_images / dt, 2),
             "stage_times_s": {k: round(v, 2) for k, v in times.items()},
+            "tunnel_h2d_MBps": tunnel_h2d_MBps(),
+            "h2d_bytes_per_image": 3 * 512 * 512 * 3,  # 3 scales, no flip
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -86,6 +107,8 @@ def bench_video(frames: int, batch: int = 8):
         "batch": batch,
         "ms_per_batch": round(dt / (frames // batch) * 1e3, 2),
         "images_per_s": round(frames / dt, 2),
+        "tunnel_h2d_MBps": tunnel_h2d_MBps(),
+        "h2d_bytes_per_image": res * res * 3,
     }
     print(json.dumps(row), flush=True)
     return [row]

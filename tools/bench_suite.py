@@ -153,12 +153,16 @@ def write_perf_md(table, path="output/PERF.md"):
         "All numbers: steady-state, compile excluded, trailing-readback",
         "sync (the remote backend's only reliable fence).  `infer` =",
         "forward + sigmoid + full on-device decode (K=100) from on-device",
-        "inputs; `video`/`eval_msflip` include host pre-process and the",
-        "H2D frame upload, which on THIS sandbox's tunneled TPU runs at",
-        "~15-60 MB/s (a local PCIe host would be ~1000x that), so those",
-        "two rows are transfer-bound here, not compute-bound.  Baseline",
-        "for context: reference DLA-34 ~23 FPS batch-1 on a 2019 GPU",
-        "(BASELINE.md).",
+        "inputs.  dla_34 rows run with LEARNED offsets (the band-skipping",
+        "DCN kernels are offset-dependent; see bench.py).  `video` /",
+        "`eval_msflip` include host pre-process and the H2D frame upload:",
+        "on THIS sandbox's tunneled TPU that link swings ~4-60 MB/s",
+        "between sessions (measured: output/transfer_budget.json; a local",
+        "PCIe host is ~1000x faster), so those two rows are transfer-",
+        "bound and carry a `tunnel_h2d_MBps` stamp measured alongside —",
+        "compare images/s x bytes/image against the stamp, not across",
+        "sessions.  Baseline for context: reference DLA-34 ~23 FPS",
+        "batch-1 on a 2019 GPU (BASELINE.md).",
         "",
         "| arch | variant | mode | batch | ms | images/s |",
         "|---|---|---|---|---|---|",
