@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Validate the fused Pallas DCN path against the XLA path on real hardware,
-at the real DLA-34/IDAUp shapes, including the documented +/-4 y-offset clamp
-under realistic (injected) offset magnitudes — then time every
+at the real DLA-34/IDAUp shapes, including the documented per-site y-offset
+clamp under realistic (injected) offset magnitudes — then time every
 (dcn_impl, compute_dtype) variant.
 
 VERDICT.md round-1 weak #2 asked for exactly this: the kernel envelope had
