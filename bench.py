@@ -85,6 +85,7 @@ def main():
     # injected noise (slightly pessimistic at the fine sites).
     ckpt = os.environ.get(
         "BENCH_CKPT", "output/dla34_learn_artifact_r4/model_best")
+    npz = ckpt.rsplit("/", 1)[0] + "/params_f16.npz"
     if os.path.isdir(ckpt):
         from centerpose_tpu.train.checkpoints import load_checkpoint
 
@@ -92,6 +93,15 @@ def main():
         variables = jax.device_put({"params": payload["params"],
                                     "batch_stats": payload["batch_stats"]})
         offsets_src = "learned"
+    elif os.path.exists(npz):
+        # the COMMITTED float16 weight snapshot: reproducible learned-offset
+        # bench from a fresh clone (the orbax dir itself is untracked)
+        from centerpose_tpu.train.checkpoints import load_params_npz
+
+        variables = init_model(
+            model, jax.random.PRNGKey(0), cfg.model.input_res)
+        variables = jax.device_put(load_params_npz(variables, npz))
+        offsets_src = "learned(f16-snapshot)"
     else:
         variables = init_model(
             model, jax.random.PRNGKey(0), cfg.model.input_res)

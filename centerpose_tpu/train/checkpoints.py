@@ -73,14 +73,27 @@ def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True,
 
 
 def ckpt_meta(cfg) -> Dict[str, Any]:
-    """The semantic-knob metadata recorded next to every checkpoint."""
-    return {
+    """The semantic-knob metadata recorded next to every checkpoint.
+
+    Records the RESOLVED auto-clamp table, not just the knob: a checkpoint
+    trained under dcn_max_dy=0 depends on DEFAULT_MAX_DY's values at train
+    time, and a later retune of that table would silently change the model
+    function for auto-clamp checkpoints."""
+    meta = {
         "arch": cfg.model.name,
         "dcn_impl": cfg.model.dcn_impl,
         "dcn_max_dy": cfg.model.dcn_max_dy,
         "compute_dtype": cfg.model.compute_dtype,
         "input_res": cfg.model.input_res,
     }
+    try:
+        from centerpose_tpu.ops.dcn_pallas import DEFAULT_MAX_DY
+
+        meta["dcn_default_max_dy"] = {str(k): v
+                                      for k, v in DEFAULT_MAX_DY.items()}
+    except Exception:
+        pass
+    return meta
 
 
 def warn_impl_mismatch(cfg, path: str) -> Optional[str]:
@@ -99,11 +112,29 @@ def warn_impl_mismatch(cfg, path: str) -> Optional[str]:
     with open(meta_path) as f:
         meta = json.load(f)
     mismatches = []
-    for knob in ("dcn_impl", "dcn_max_dy"):
-        want = meta.get(knob)
-        have = getattr(cfg.model, knob, None)
-        if want is not None and want != have:
-            mismatches.append(f"{knob}: trained={want!r} eval={have!r}")
+
+    def fwd_family(impl):
+        # pallas and pallas_full share the identical forward (they differ
+        # only in which backward runs) — not a semantic eval mismatch
+        return "pallas" if impl in ("pallas", "pallas_full") else impl
+
+    want_impl = meta.get("dcn_impl")
+    have_impl = getattr(cfg.model, "dcn_impl", None)
+    if want_impl is not None and fwd_family(want_impl) != fwd_family(have_impl):
+        mismatches.append(f"dcn_impl: trained={want_impl!r} eval={have_impl!r}")
+    want = meta.get("dcn_max_dy")
+    have = getattr(cfg.model, "dcn_max_dy", None)
+    if want is not None and want != have:
+        mismatches.append(f"dcn_max_dy: trained={want!r} eval={have!r}")
+    # auto-clamp checkpoints depend on the DEFAULT_MAX_DY table itself
+    want_tbl = meta.get("dcn_default_max_dy")
+    if want_tbl is not None and meta.get("dcn_max_dy", 0) == 0:
+        from centerpose_tpu.ops.dcn_pallas import DEFAULT_MAX_DY
+
+        have_tbl = {str(k): v for k, v in DEFAULT_MAX_DY.items()}
+        if want_tbl != have_tbl:
+            mismatches.append(
+                f"auto-clamp table: trained={want_tbl} current={have_tbl}")
     if not mismatches:
         return None
     msg = (
@@ -344,3 +375,37 @@ def torchvision_resnet_key_maps(num_layers: int):
                 f"{f}/{ds}/BatchNorm_0/var")
             blk += 1
     return pmap, smap
+
+
+def save_params_npz(variables: Dict[str, Any], path: str,
+                    dtype=None) -> None:
+    """Flat-key .npz snapshot of {params, batch_stats} (optionally cast),
+    loadable without orbax — used to commit a small reproducible weights
+    artifact next to the (untracked) orbax checkpoint."""
+    flat = {}
+    for group in ("params", "batch_stats"):
+        for p, v in jax.tree_util.tree_flatten_with_path(variables[group])[0]:
+            arr = np.asarray(v)
+            if dtype is not None and group == "params":
+                arr = arr.astype(dtype)
+            flat[f"{group}:{jax.tree_util.keystr(p)}"] = arr
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(init_variables: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Rebuild a {params, batch_stats} tree from a save_params_npz file,
+    hung on the init tree's structure (arrays cast back to the init leaf
+    dtypes)."""
+    data = np.load(path)
+    out = {}
+    for group in ("params", "batch_stats"):
+        paths, treedef = jax.tree_util.tree_flatten_with_path(
+            init_variables[group])
+        leaves = []
+        for p, init_v in paths:
+            key = f"{group}:{jax.tree_util.keystr(p)}"
+            arr = data[key].astype(np.asarray(init_v).dtype)
+            assert arr.shape == np.shape(init_v), (key, arr.shape)
+            leaves.append(arr)
+        out[group] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return out

@@ -30,27 +30,11 @@ import numpy as np
 
 
 def perturb_offset_convs(variables, seed: int = 1):
-    """Noise+bias perturbation of every conv_offset_mask: per-tap constant
-    offsets ~N(0,2) cells via the bias + spatial variation via kernel noise."""
-    import jax
-    import jax.numpy as jnp
+    """Same offset-population methodology as the headline bench — one
+    definition, imported, so the two cannot drift."""
+    from bench import _perturb_offset_convs
 
-    rng = np.random.default_rng(seed)
-
-    def perturb(path, leaf):
-        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
-        if "conv_offset_mask" in name and leaf.ndim == 4:
-            return leaf + jnp.asarray(
-                (rng.normal(size=leaf.shape) * 0.01).astype(np.float32))
-        if "conv_offset_mask" in name and leaf.ndim == 1:
-            n = leaf.shape[0]
-            k2 = n // 3
-            b = np.zeros(n, np.float32)
-            b[: 2 * k2] = rng.normal(size=2 * k2) * 2.0
-            return leaf + jnp.asarray(b)
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(perturb, variables)
+    return _perturb_offset_convs(variables, seed)
 
 
 def main():

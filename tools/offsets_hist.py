@@ -80,6 +80,17 @@ def main():
 
     from centerpose_tpu.ops.dcn_pallas import resolve_max_dy
 
+    def site_channels(path):
+        """(cin, cout) of the DCN owning this conv_offset_mask, from its
+        sibling `kernel` param — resolution depends on real channel widths
+        via the grouped VMEM gate, so proxy channels would mis-report the
+        radius for wide variants."""
+        node = variables["params"]
+        for part in path.split("/")[:-1]:  # drop 'conv_offset_mask'
+            node = node[part]
+        kshape = np.shape(node["kernel"])  # [3, 3, cin, cout]
+        return int(kshape[2]), int(kshape[3])
+
     sites = []
     worst = 0.0
     for path, om in sorted(walk(inter)):
@@ -90,7 +101,8 @@ def main():
         dx = off[..., 1].ravel()
         ady, adx = np.abs(dy), np.abs(dx)
         hw = om.shape[1]
-        md = resolve_max_dy(hw, om.shape[2], 1, 1)  # radius is width-keyed
+        cin, cout = site_channels(path)
+        md = resolve_max_dy(hw, om.shape[2], cin, cout)
         row = {
             "site": path,
             "shape": list(om.shape[1:3]),

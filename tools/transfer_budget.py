@@ -82,9 +82,10 @@ def main():
     }
 
     # --- graded config #4: hrnet_w32 multi-scale flip eval ---
-    # fix_res: every scale warps to 512^2; flip doubles; 3 scales
-    scales, flip = 3, 2
-    eval_bytes = frame_bytes * scales * flip
+    # fix_res: every scale warps to 512^2; 3 scales; the FLIPPED halves are
+    # built on device (detector.process), so they do not cross H2D
+    scales = 3
+    eval_bytes = frame_bytes * scales
     out["eval_msflip"] = {
         "bytes_per_image": eval_bytes,
         "h2d_ceiling_img_per_s": round(h2d * 1e6 / eval_bytes, 1),
