@@ -61,8 +61,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
-                dma_sem, *, h, w, cin, cout, max_dy):
-    """One grid step: 8 output rows of one batch element, gather-as-matmul.
+                dma_sem, *, h, w, cin, cout, max_dy, br=8):
+    """One grid step: ``br`` output rows of one batch element,
+    gather-as-matmul.
 
     Instead of per-channel lane gathers (the round-2 kernel: a cin x 9 x 12
     scan of ``take_along_axis`` vregs — VPU-bound, MXU idle), the bilinear
@@ -88,23 +89,26 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
     i = pl.program_id(1)  # output row-block index
     f32 = jnp.float32
     PAD = 8
-    SLAB = 24
+    SLAB = br + 2 * PAD
 
-    # Fetch this block's slab of source rows [i*8 - 8, i*8 + 16) (unpadded).
+    # Fetch this block's slab of source rows [i*br - 8, i*br + br + 8).
+    # br=16 amortizes the slab z-projection over twice the output rows
+    # (2x slab rows per output row instead of 3x) and halves the per-block
+    # loop overhead; chosen by _rowmajor_br when VMEM permits.
     slab = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * 8, SLAB)], xs_ref, dma_sem
+        x_hbm.at[bi, pl.ds(i * br, SLAB)], xs_ref, dma_sem
     )
     slab.start()
     slab.wait()
 
-    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
-    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)  # src on sublanes
+    lane_x = lax.broadcasted_iota(jnp.int32, (br, w), 1).astype(f32)
+    iota_sub = lax.broadcasted_iota(jnp.int32, (br, w, w), 1)  # src sublanes
 
     # Tap-projected activations for every slab row the band loop can read
-    # ([PAD-1-max_dy, PAD+max_dy+10)): z[j] = W^T x[j] on the MXU
+    # ([PAD-1-max_dy, PAD+max_dy+2+br)): z[j] = W^T x[j] on the MXU
     # ([K*Cout, Cin] @ [Cin, W]), stored bf16 for the band dots.
     for j in range(max(0, PAD - 1 - max_dy),
-                   min(SLAB, PAD + max_dy + 2 + 8)):
+                   min(SLAB, PAD + max_dy + 2 + br)):
         zj = lax.dot_general(
             w_ref[...], xs_ref[j][:cin].astype(f32),
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
@@ -153,7 +157,8 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
                       ).astype(z_ref.dtype)
 
                 # source rows t + d live at slab index s + d + PAD
-                z_rows = z_ref[pl.ds(PAD + d, 8), k * cout:(k + 1) * cout, :]
+                z_rows = z_ref[pl.ds(PAD + d, br),
+                               k * cout:(k + 1) * cout, :]
                 contrib = lax.dot_general(
                     z_rows, at, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
@@ -184,34 +189,36 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
     xt = jnp.pad(xt, ((0, 0), (PAD, PAD), (0, _roundup(cin, 8) - cin),
                       (0, 0)))
-    # offsets/mask -> channel-second layout so per-tap slices are [8, W] vregs
+    # offsets/mask -> channel-second layout so per-tap slices are [br, W]
     offt = jnp.transpose(offset, (0, 1, 3, 2)).astype(jnp.float32)
     maskt = jnp.transpose(mask, (0, 1, 3, 2)).astype(jnp.float32)
     # projection layout: [K*Cout, Cin]
     wmat = jnp.transpose(weight, (0, 1, 3, 2)).reshape(
         k * cout, cin).astype(jnp.float32)
 
-    grid = (b, h // 8)
+    br = _rowmajor_br(h, w, cin, cout)
+    slab_rows = br + 2 * PAD
+    grid = (b, h // br)
     out = pl.pallas_call(
         functools.partial(
-            _dcn_kernel, h=h, w=w, cin=cin, cout=cout, max_dy=max_dy
+            _dcn_kernel, h=h, w=w, cin=cin, cout=cout, max_dy=max_dy, br=br
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; slab DMA
             pl.BlockSpec((k * cout, cin), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, cout, w), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, br, cout, w), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, cout, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((24, k * cout, w), jnp.bfloat16),
-            pltpu.VMEM((24, _roundup(cin, 8), w), jnp.float32),
+            pltpu.VMEM((slab_rows, k * cout, w), jnp.bfloat16),
+            pltpu.VMEM((slab_rows, _roundup(cin, 8), w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_INTERPRET[0],
@@ -677,7 +684,7 @@ def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy,
 def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
                             off_s, mask_s, ct_s, dcols_s,
                             sem_off, sem_mask, sem_ct,
-                            *, w, cin, cout, max_dy):
+                            *, w, cin, cout, max_dy, br=8):
     """Input-owned dx for the row-major (W=128) sites: one grid step computes
     the dx block for 8 *input* rows exactly — no scatter, no whole-image
     accumulator.
@@ -704,20 +711,20 @@ def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
     i = pl.program_id(1)
     f32 = jnp.float32
     PAD = 8   # zero rows added above/below in the wrapper
-    SLAB = 24  # slab rows [i*8 - 8, i*8 + 16) in unpadded coords
+    SLAB = br + 2 * PAD  # slab rows [i*br - 8, i*br + br + 8) unpadded
 
     for src, dst, sem in ((off_hbm, off_s, sem_off),
                           (mask_hbm, mask_s, sem_mask),
                           (ct_hbm, ct_s, sem_ct)):
-        cp = pltpu.make_async_copy(src.at[bi, pl.ds(i * 8, SLAB)], dst, sem)
+        cp = pltpu.make_async_copy(src.at[bi, pl.ds(i * br, SLAB)], dst, sem)
         cp.start()
         cp.wait()
 
-    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
+    lane_x = lax.broadcasted_iota(jnp.int32, (br, w), 1).astype(f32)
     # Transposed one-hot: src on the SUBLANE axis (dim 1).  The lane-major
     # form (iota on dim 2, masks via w0[..., None]) forces a lane->sublane
-    # relayout of every [8, W] mask per band — measured 5x slower.
-    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)
+    # relayout of every [br, W] mask per band — measured 5x slower.
+    iota_sub = lax.broadcasted_iota(jnp.int32, (br, w, w), 1)
 
     dx_ref[...] = jnp.zeros_like(dx_ref)
     # dcols for ALL taps and slab rows in one pass: per row one MXU dot
@@ -740,7 +747,7 @@ def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
         # the dynamic loop bounds the live set to one band.
         def d_body(di, _, *, ky=ky, kx=kx, k=k):
             d = di + (ky - max_dy)  # traced band offset
-            sl = pl.ds(PAD - d, 8)  # slab rows j = (i*8 + s) - d
+            sl = pl.ds(PAD - d, br)  # slab rows j = (i*br + s) - d
             dy = jnp.clip(off_s[sl, 2 * k, :].astype(f32), -max_dy, max_dy)
             mk = mask_s[sl, k, :].astype(f32)
 
@@ -772,11 +779,11 @@ def _dcn_rowmajor_dx_kernel(off_hbm, mask_hbm, ct_hbm, w_ref, dx_ref,
                       + w1[:, None, :] * (xi1[:, None, :] == iota_sub).astype(f32)
                       ).astype(jnp.bfloat16)
 
-                rows = dcols_s[sl, k * cin:(k + 1) * cin, :]  # [8, Cin, W(pix)]
+                rows = dcols_s[sl, k * cin:(k + 1) * cin, :]  # [br,Cin,Wp]
                 contrib = lax.dot_general(
                     rows, at, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32,
-                )  # [8, Cin, W(src)]
+                )  # [br, Cin, W(src)]
                 dx_ref[0] = dx_ref[0] + contrib
 
             return 0
@@ -807,10 +814,13 @@ def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
     ctt = prep(ct)
     wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
 
-    grid = (b, h // 8)
+    br = _rowmajor_br(h, w, cin, cout)
+    slab_rows = br + 16
+    grid = (b, h // br)
     dx = pl.pallas_call(
         functools.partial(
-            _dcn_rowmajor_dx_kernel, w=w, cin=cin, cout=cout, max_dy=max_dy
+            _dcn_rowmajor_dx_kernel, w=w, cin=cin, cout=cout, max_dy=max_dy,
+            br=br,
         ),
         grid=grid,
         in_specs=[
@@ -820,14 +830,14 @@ def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
             pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, cin, w), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, br, cin, w), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, cin, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((24, _roundup(2 * k, 8), w), jnp.float32),
-            pltpu.VMEM((24, _roundup(k, 8), w), jnp.float32),
-            pltpu.VMEM((24, _roundup(cout, 8), w), jnp.float32),
-            pltpu.VMEM((24, k * cin, w), jnp.bfloat16),
+            pltpu.VMEM((slab_rows, _roundup(2 * k, 8), w), jnp.float32),
+            pltpu.VMEM((slab_rows, _roundup(k, 8), w), jnp.float32),
+            pltpu.VMEM((slab_rows, _roundup(cout, 8), w), jnp.float32),
+            pltpu.VMEM((slab_rows, k * cin, w), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -840,7 +850,7 @@ def _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy):
 def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
                                doff_ref, dmask_ref, dw_ref,
                                xs_ref, dcols_ref, cols_ref, dma_sem,
-                               *, w, cin, cout, max_dy):
+                               *, w, cin, cout, max_dy, br=8):
     """Output-owned pass for doffset/dmask/dW at W=128 sites ("pass A" of
     the split backward; dx is pass B in ``_dcn_rowmajor_dx_kernel``).
 
@@ -867,10 +877,10 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     PAD = 8
-    SLAB = 24
+    SLAB = br + 2 * PAD
 
     slab = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * 8, SLAB)], xs_ref, dma_sem
+        x_hbm.at[bi, pl.ds(i * br, SLAB)], xs_ref, dma_sem
     )
     slab.start()
     slab.wait()
@@ -879,15 +889,15 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
     def _zero_dw():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    lane_x = lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(f32)
-    iota_sub = lax.broadcasted_iota(jnp.int32, (8, w, w), 1)
+    lane_x = lax.broadcasted_iota(jnp.int32, (br, w), 1).astype(f32)
+    iota_sub = lax.broadcasted_iota(jnp.int32, (br, w, w), 1)
 
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
 
         # dcols_k[s] = W_k @ ct[s] on the MXU
         wk = w_ref[k * cin:(k + 1) * cin, :]
-        for s in range(8):
+        for s in range(br):
             d_ = lax.dot_general(
                 wk, ct_ref[0, s].astype(f32), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
@@ -918,9 +928,9 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
         # accumulate directly into the output block slices so the whole
         # band body can sit under a data-dependent skip (pl.when takes no
         # carries); clamp_pass/mk factors distribute over the sum
-        dmask_ref[0, :, k, :] = jnp.zeros((8, w), f32)
-        doff_ref[0, :, 2 * k, :] = jnp.zeros((8, w), f32)
-        doff_ref[0, :, 2 * k + 1, :] = jnp.zeros((8, w), f32)
+        dmask_ref[0, :, k, :] = jnp.zeros((br, w), f32)
+        doff_ref[0, :, 2 * k, :] = jnp.zeros((br, w), f32)
+        doff_ref[0, :, 2 * k + 1, :] = jnp.zeros((br, w), f32)
 
         def d_body(di, _, *, ky=ky, k=k):
             d = di + (ky - max_dy)
@@ -940,7 +950,7 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
                 dmat = (v1[:, None, :] * oh1
                         - v0[:, None, :] * oh0).astype(bf16)
 
-                x_rows = xs_ref[pl.ds(PAD + d, 8), :cin, :].astype(bf16)
+                x_rows = xs_ref[pl.ds(PAD + d, br), :cin, :].astype(bf16)
                 samples_m = lax.dot_general(
                     x_rows, mmat, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
@@ -966,7 +976,7 @@ def _dcn_rowmajor_grads_kernel(off_ref, mask_ref, x_hbm, ct_ref, w_ref,
         lax.fori_loop(0, 2 * max_dy + 2, d_body, 0)
 
         # dW_k += cols . ct^T (contract pixels), accumulated across the grid
-        for s in range(8):
+        for s in range(br):
             dw_ref[k * cin:(k + 1) * cin, :] += lax.dot_general(
                 cols_ref[s].astype(bf16), ct_ref[0, s].astype(bf16),
                 (((1,), (1,)), ((), ())),
@@ -991,28 +1001,30 @@ def _dcn_rowmajor_grads_impl(x, offset, mask, weight, ct, max_dy):
     ctt = jnp.transpose(ct, (0, 1, 3, 2)).astype(jnp.float32)
     wmat = weight.reshape(k * cin, cout).astype(jnp.float32)
 
-    grid = (b, h // 8)
+    br = _rowmajor_br(h, w, cin, cout)
+    slab_rows = br + 16
+    grid = (b, h // br)
     doffg, dmaskg, dw = pl.pallas_call(
         functools.partial(
             _dcn_rowmajor_grads_kernel, w=w, cin=cin, cout=cout,
-            max_dy=max_dy,
+            max_dy=max_dy, br=br,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, cout, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, cout, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, 2 * k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, k, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, br, k, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k * cin, cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1023,9 +1035,9 @@ def _dcn_rowmajor_grads_impl(x, offset, mask, weight, ct, max_dy):
             jax.ShapeDtypeStruct((k * cin, cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((24, _roundup(cin, 8), w), jnp.float32),
-            pltpu.VMEM((8, cin, w), jnp.bfloat16),
-            pltpu.VMEM((8, cin, w), jnp.float32),
+            pltpu.VMEM((slab_rows, _roundup(cin, 8), w), jnp.float32),
+            pltpu.VMEM((br, cin, w), jnp.bfloat16),
+            pltpu.VMEM((br, cin, w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_INTERPRET[0],
@@ -1044,12 +1056,14 @@ def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int,
     """Eligibility for the input-owned dx kernel (W=128 row-major sites)."""
     if w != 128 or h % 8 or max_dy > _ROWMAJOR_DY_CAP:
         return False
-    slabs = 4 * 24 * (_roundup(2 * 9, 8) + _roundup(9, 8)
-                      + _roundup(cout, 8)) * w
-    dcols = 2 * 24 * 9 * cin * w  # bf16 all-taps dcols scratch
+    br = _rowmajor_br(h, w, cin, cout)
+    slab = br + 16
+    slabs = 4 * slab * (_roundup(2 * 9, 8) + _roundup(9, 8)
+                        + _roundup(cout, 8)) * w
+    dcols = 2 * slab * 9 * cin * w  # bf16 all-taps dcols scratch
     wmat = 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)
-    out_blk = 2 * 4 * 8 * _roundup(cin, 8) * w
-    a_buf = 4 * 8 * w * w
+    out_blk = 2 * 4 * br * _roundup(cin, 8) * w
+    a_buf = 4 * br * w * w
     return slabs + dcols + wmat + out_blk + a_buf <= _VMEM_LIMIT
 
 
@@ -1101,7 +1115,17 @@ def _roundup(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
+def _rowmajor_br(h: int, w: int, cin: int, cout: int) -> int:
+    """Output rows per grid step for the row-major forward: 16 when the
+    shape divides and the larger slab/z buffers fit VMEM (the z projection
+    then costs 2x slab rows per output row instead of 3x), else 8."""
+    if h % 16 == 0 and pallas_vmem_bytes(h, w, cin, cout, br=16) <= _VMEM_LIMIT:
+        return 16
+    return 8
+
+
+def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4,
+                      br: int = 8) -> int:
     """Estimate the row-major kernel's scoped VMEM footprint ((8,128)-tiled).
     Intentionally H-independent (x stays in HBM; only the fixed-size slab
     counts) — ``h`` is kept for call-site symmetry with
@@ -1112,13 +1136,14 @@ def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> i
     blows the 16 MiB cap at the deep DLA sites (W<=32, Cin>=256); those route
     to the row-grouped variant instead.  Pipelined (grid-varying) blocks are
     double-buffered by Pallas — count them twice."""
-    x_slab = 4 * 24 * _roundup(cin, 8) * _roundup(w, 128)
-    z_buf = 2 * 24 * _roundup(9 * cout, 8) * _roundup(w, 128)  # bf16
+    slab = br + 16
+    x_slab = 4 * slab * _roundup(cin, 8) * _roundup(w, 128)
+    z_buf = 2 * slab * _roundup(9 * cout, 8) * _roundup(w, 128)  # bf16
     wmat = 4 * _roundup(9 * cout, 8) * _roundup(cin, 128)
-    out_blk = 2 * 4 * 8 * _roundup(cout, 8) * _roundup(w, 128)
-    offs = 2 * 4 * (8 * _roundup(18, 8) * _roundup(w, 128)
-                    + 8 * _roundup(9, 8) * _roundup(w, 128))
-    a_buf = 4 * 8 * _roundup(w, 8) * _roundup(w, 128)
+    out_blk = 2 * 4 * br * _roundup(cout, 8) * _roundup(w, 128)
+    offs = 2 * 4 * (br * _roundup(18, 8) * _roundup(w, 128)
+                    + br * _roundup(9, 8) * _roundup(w, 128))
+    a_buf = 4 * br * _roundup(w, 8) * _roundup(w, 128)
     return x_slab + z_buf + wmat + out_blk + offs + a_buf
 
 

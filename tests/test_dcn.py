@@ -525,3 +525,43 @@ def test_grouped_backward_compact_mode_interpret():
             assert rel < 3e-2, f"{name} rel err {rel}"
     finally:
         dp._INTERPRET[0] = False
+
+
+@pytest.mark.slow
+def test_rowmajor_br16_fwd_and_split_backward_interpret():
+    """h%16==0 W=128 sites take 16-row blocks (fwd + both split-backward
+    passes); numerics must match the clamped XLA reference exactly as the
+    8-row blocks do."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    h, w, cin, cout = 16, 128, 4, 4
+    assert dp._rowmajor_br(h, w, cin, cout) == 16
+    md = dp.resolve_max_dy(h, w, cin, cout)
+    dp._INTERPRET[0] = True
+    try:
+        x = rand((1, h, w, cin), 700)
+        offset = rand((1, h, w, 18), 701, 4.0)
+        mask = jax.nn.sigmoid(rand((1, h, w, 9), 702))
+        wgt = rand((3, 3, cin, cout), 703, 0.3)
+        bias = rand((cout,), 704)
+
+        ref = np.asarray(dcn_v2(x, _clamp_y(offset, md), mask, wgt, bias))
+        out = np.asarray(dp.dcn_v2_pallas(x, offset, mask, wgt, bias))
+        rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 1e-2, f"br16 fwd rel err {rel}"
+
+        _, vjp_k = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas(*a, 1, 1, 1, 1, True),
+            x, offset, mask, wgt, bias)
+        _, vjp_x = jax.vjp(
+            lambda x, o, m, wt, bb: dcn_v2(x, _clamp_y(o, md), m, wt, bb),
+            x, offset, mask, wgt, bias)
+        ct = rand((1, h, w, cout), 705)
+        for name, a, b_ in zip(("dx", "doff", "dmask", "dw", "dbias"),
+                               vjp_k(ct), vjp_x(ct)):
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 2e-2, f"br16 {name} rel err {rel}"
+    finally:
+        dp._INTERPRET[0] = False
