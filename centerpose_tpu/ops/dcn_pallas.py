@@ -257,7 +257,7 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
     i = pl.program_id(1)
     f32 = jnp.float32
     PAD = 8
-    SLAB = 24
+    SLAB = br + 2 * PAD
     # max |row shift|: |ky| + max_dy for the y0 corner, +1 for the y1 corner
     shift = max_dy + 1
     m_lo = -(shift // grp + 1)
@@ -360,14 +360,14 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
     kh, kw, wcin, cout = weight.shape
     grp = 128 // w
     hg = h // grp
-    br = min(8, hg)
-    assert _grouped_dy_ok(grp, br, max_dy), (grp, br, max_dy)
+    br = _grouped_br(h, w, cin, cout, max_dy)
+    assert br > 0, (h, w, cin, cout, max_dy)
     k = kh * kw
     PAD = 8
 
-    # pad: PAD group-rows on top, enough on the bottom that the last block's
-    # fixed 24-row slab DMA stays in bounds ((i_max*br + 24) <= padded len)
-    bot = 16 - br
+    # pad: PAD group-rows on top, 8 on the bottom so the last block's
+    # (br+16)-row slab DMA stays in bounds ((hg-br) + br+16 <= hg+PAD+8)
+    bot = 8
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)  # [B,H,C,W]
     xt = jnp.pad(xt, ((0, 0), (PAD * grp, bot * grp),
                       (0, _roundup(cin, 8) - cin), (0, 0)))
@@ -402,8 +402,8 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hg, cout, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((24, cout, 128), jnp.bfloat16),
-            pltpu.VMEM((24, _roundup(cin, 8), 128), jnp.float32),
+            pltpu.VMEM((br + 16, cout, 128), jnp.bfloat16),
+            pltpu.VMEM((br + 16, _roundup(cin, 8), 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_INTERPRET[0],
@@ -604,12 +604,12 @@ def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy,
     kh, kw, _, cout = weight.shape
     grp = 128 // w
     hg = h // grp
-    br = min(8, hg)
     k = kh * kw
     shift = max_dy + 1
     pad_g = math.ceil((shift + 1) / grp)
     if compact is None:
         compact = _grouped_bwd_mode(h, w, cin, cout, max_dy) == "compact"
+    br = _grouped_bwd_br(h, w, cin, cout, max_dy, compact)
     buf_dtype = jnp.bfloat16 if compact else jnp.float32
 
     xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
@@ -1103,12 +1103,13 @@ def resolve_max_dy(h: int, w: int, cin: int, cout: int, max_dy: int = 0) -> int:
 
 def _grouped_dy_ok(grp: int, br: int, max_dy: int) -> bool:
     """Grouped-forward slab geometry: with PAD=8 group-rows above and a
-    24-row slab, every contributing slab index m in [m_lo, m_hi] must keep
-    z_ref[PAD+m : PAD+m+br] inside the slab."""
+    (br+16)-row slab, every contributing slab index m in [m_lo, m_hi] must
+    keep z_ref[PAD+m : PAD+m+br] inside the slab (the br term cancels, so
+    the bound is m_hi <= 8 / m_lo >= -8 for any block size)."""
     shift = max_dy + 1
     m_lo = -(shift // grp + 1)
     m_hi = (grp - 1 + shift + 1) // grp
-    return 8 + m_lo >= 0 and 8 + m_hi + br <= 24
+    return 8 + m_lo >= 0 and m_hi <= 8
 
 
 def _roundup(v: int, m: int) -> int:
@@ -1147,21 +1148,40 @@ def pallas_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4,
     return x_slab + z_buf + wmat + out_blk + offs + a_buf
 
 
-def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
+def grouped_vmem_bytes(h: int, w: int, cin: int, cout: int, max_dy: int = 4,
+                       br: int = 0) -> int:
     """Scoped VMEM estimate for the row-grouped kernel variant.
 
-    Since the gather-as-matmul rewrite, x lives in HBM with a fixed 24-row
+    Since the gather-as-matmul rewrite, x lives in HBM with a (br+16)-row
     slab DMA per block, so the estimate is Hg-independent."""
     grp = 128 // w
     hg = h // grp
-    br = min(8, hg)
-    xs = 4 * 24 * _roundup(cin, 8) * 128
-    z_buf = 2 * 24 * _roundup(cout, 8) * 128
+    if not br:
+        br = min(8, hg)
+    slab = br + 16
+    xs = 4 * slab * _roundup(cin, 8) * 128
+    z_buf = 2 * slab * _roundup(cout, 8) * 128
     wmat = 2 * _roundup(9 * cout, 8) * _roundup(cin, 128)
     out_blk = 2 * 4 * br * _roundup(cout, 8) * 128
     offs = 2 * 4 * br * (_roundup(18, 8) + _roundup(9, 8)) * 128
     a_buf = 4 * br * 128 * 128
     return xs + z_buf + wmat + out_blk + offs + a_buf
+
+
+def _grouped_br(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> int:
+    """Block group-rows for the grouped forward: the largest of (16, 8,
+    hg) that divides hg, satisfies the slab geometry, and fits VMEM —
+    larger blocks amortize the per-tap z-projection over more output rows
+    and halve the slab-loop overhead.  0 = no fit."""
+    grp = 128 // w
+    hg = h // grp
+    for br in (16, 8, min(8, hg)):
+        if (0 < br <= hg and hg % br == 0
+                and _grouped_dy_ok(grp, br, max_dy)
+                and grouped_vmem_bytes(h, w, cin, cout, max_dy, br)
+                <= _VMEM_LIMIT):
+            return br
+    return 0
 
 
 def _rowmajor_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
@@ -1173,22 +1193,13 @@ def _rowmajor_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
 
 
 def _grouped_ok(h: int, w: int, cin: int, cout: int, max_dy: int = 4) -> bool:
-    if w not in (16, 32, 64):
+    if w not in (16, 32, 64) or h % (128 // w):
         return False
-    grp = 128 // w
-    hg, rem = divmod(h, grp)
-    if rem:
-        return False
-    br = min(8, hg)
-    if hg % br:
-        return False
-    if not _grouped_dy_ok(grp, br, max_dy):
-        return False
-    return grouped_vmem_bytes(h, w, cin, cout, max_dy) <= _VMEM_LIMIT
+    return _grouped_br(h, w, cin, cout, max_dy) > 0
 
 
 def _grouped_bwd_vmem(h: int, w: int, cin: int, cout: int, max_dy: int,
-                      compact: bool) -> int:
+                      compact: bool, br: int = 0) -> int:
     """Scoped-VMEM estimate for the grouped backward.  Mirrors the kernel's
     own buffers (whole grouped image + dx accumulator resident, unlike the
     slab-DMA forward); x/dx block indices only change across the (outer,
@@ -1200,7 +1211,8 @@ def _grouped_bwd_vmem(h: int, w: int, cin: int, cout: int, max_dy: int,
 
     grp = 128 // w
     hg = h // grp
-    br = min(8, hg)
+    if not br:
+        br = min(8, hg)
     pad_g = math.ceil((max_dy + 2) / grp)
     hpad = hg + 2 * pad_g  # exact: hpad is an outer dim, no 8-row tiling
     xb = 2 if compact else 4
@@ -1236,6 +1248,20 @@ def _grouped_bwd_mode(h: int, w: int, cin: int, cout: int,
     if _grouped_bwd_vmem(h, w, cin, cout, max_dy, True) <= _VMEM_LIMIT:
         return "compact"
     return None
+
+
+def _grouped_bwd_br(h: int, w: int, cin: int, cout: int, max_dy: int,
+                    compact: bool) -> int:
+    """Block group-rows for the grouped backward: largest that divides hg
+    and fits VMEM (larger blocks batch the slab dots over more rows)."""
+    grp = 128 // w
+    hg = h // grp
+    for br in (16, 8, min(8, hg)):
+        if (0 < br <= hg and hg % br == 0
+                and _grouped_bwd_vmem(h, w, cin, cout, max_dy, compact, br)
+                <= _VMEM_LIMIT):
+            return br
+    return min(8, hg)
 
 
 def _grouped_bwd_ok(h: int, w: int, cin: int, cout: int,
