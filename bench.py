@@ -148,7 +148,10 @@ def main():
 
     train_batch = 8
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), 100)
-    if offsets_src == "learned":
+    if offsets_src != "synthetic":
+        # any loaded snapshot (orbax dir or the committed f16 npz) carries
+        # the learned offsets into the TRAIN timing too — the emitted row
+        # stamps one offsets source for both numbers
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
     else:

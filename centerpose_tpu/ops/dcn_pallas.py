@@ -1067,6 +1067,40 @@ def _rowmajor_dx_ok(h: int, w: int, cin: int, cout: int,
     return slabs + dcols + wmat + out_blk + a_buf <= _VMEM_LIMIT
 
 
+def _rowmajor_grads_vmem(h: int, w: int, cin: int, cout: int,
+                         br: int = 0) -> int:
+    """Scoped-VMEM estimate for pass A (_dcn_rowmajor_grads_kernel).
+
+    Mirrors that kernel's buffers: double-buffered off/mask/ct in blocks and
+    doff/dmask out blocks, the x slab scratch, wmat in + dw out
+    (constant-index, single-buffered), dcols (bf16) + cols (f32) scratch,
+    and the per-band one-hot/sample temporaries (oh0/oh1 f32 + mmat/dmat
+    bf16 [br,w,w]; samples_m/samples_d [br,cin,w] f32)."""
+    if not br:
+        br = _rowmajor_br(h, w, cin, cout)
+    slab = br + 16
+    xs = 4 * slab * _roundup(cin, 8) * w
+    in_blk = 2 * 4 * br * (_roundup(18, 8) + _roundup(9, 8)
+                           + _roundup(cout, 8)) * w
+    out_blk = 2 * 4 * br * (_roundup(18, 8) + _roundup(9, 8)) * w
+    wmats = 2 * 4 * _roundup(9 * cin, 8) * _roundup(cout, 128)  # wmat + dw
+    dcols = 2 * br * cin * w
+    cols = 4 * br * cin * w
+    a_buf = (4 + 4 + 2 + 2) * br * w * w
+    samples = 2 * 4 * br * _roundup(cin, 8) * w
+    return xs + in_blk + out_blk + wmats + dcols + cols + a_buf + samples
+
+
+def _rowmajor_split_ok(h: int, w: int, cin: int, cout: int,
+                       max_dy: int = 4) -> bool:
+    """Eligibility for the split W=128 backward: BOTH passes must fit —
+    pass B (dx) via _rowmajor_dx_ok and pass A (doff/dmask/dW) via its own
+    footprint estimate (previously ungated; a site could pass the dx gate
+    yet blow scoped VMEM in pass A's larger br=16 slabs)."""
+    return (_rowmajor_dx_ok(h, w, cin, cout, max_dy)
+            and _rowmajor_grads_vmem(h, w, cin, cout) <= _VMEM_LIMIT)
+
+
 _INTERPRET = [False]  # tests flip this to run the kernel on CPU
 
 _VMEM_LIMIT = 14 * 1024 * 1024  # leave headroom under the 16 MiB scoped cap
@@ -1332,7 +1366,7 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
                 None if bias is None else dbias.astype(
                     jnp.asarray(bias).dtype))
 
-    if kernel_bwd and _rowmajor_dx_ok(h, w, cin, cout, md):
+    if kernel_bwd and _rowmajor_split_ok(h, w, cin, cout, md):
         # Split backward for the wide (W=128) sites, all on Pallas:
         # pass A (output-owned) produces doffset/dmask/dW via the shared
         # M/D band matmuls; pass B (input-owned) produces dx — the only

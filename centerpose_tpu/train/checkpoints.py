@@ -59,17 +59,27 @@ def save_checkpoint(path: str, state, epoch: int = 0, async_save: bool = True,
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
-    if meta is not None:
-        import json
-
-        with open(os.path.abspath(path) + ".meta.json", "w") as f:
-            json.dump(meta, f, indent=1)
+    # Drop any stale sidecar up front: a failed/pre-empted save (or a
+    # meta=None re-save over an old path) must not leave a previous run's
+    # sidecar describing weights that were never written.
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     if async_save:
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()
         ckptr.save(os.path.abspath(path), payload, force=True)
     else:
         _ckptr().save(os.path.abspath(path), payload, force=True)
+    # Sidecar is written only after the save call (sync: after it landed;
+    # async: after enqueue — an async failure surfaces at the next
+    # wait_until_finished, and the stale-delete above bounds the damage to
+    # one save interval).
+    if meta is not None:
+        import json
+
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
 
 
 def ckpt_meta(cfg) -> Dict[str, Any]:
@@ -107,11 +117,30 @@ def warn_impl_mismatch(cfg, path: str) -> Optional[str]:
     import json
 
     meta_path = os.path.abspath(path) + ".meta.json"
+    have_impl_raw = getattr(cfg.model, "dcn_impl", None)
     if not os.path.exists(meta_path):
+        # A pallas eval config with a sidecar-less (pre-r4) checkpoint is
+        # exactly the trap the sidecar exists for: the per-site clamp table
+        # may differ from what the weights were trained under (pre-r4
+        # pallas checkpoints trained with the uniform +/-4 clamp must set
+        # model.dcn_max_dy=4 explicitly to reproduce their train-time
+        # function).
+        if have_impl_raw in ("pallas", "pallas_full"):
+            msg = (
+                f"[ckpt] WARNING: {path} has no .meta.json sidecar; this "
+                "pallas eval uses the CURRENT per-site clamp table "
+                "(DEFAULT_MAX_DY), which may differ from the table the "
+                "checkpoint was trained under.  Pre-r4 pallas checkpoints "
+                "were trained with a uniform +/-4 clamp — set "
+                "model.dcn_max_dy 4 to reproduce them (docs/DCN.md)."
+            )
+            print(msg, flush=True)
+            return msg
         return None
     with open(meta_path) as f:
         meta = json.load(f)
     mismatches = []
+    notes = []
 
     def fwd_family(impl):
         # pallas and pallas_full share the identical forward (they differ
@@ -135,13 +164,26 @@ def warn_impl_mismatch(cfg, path: str) -> Optional[str]:
         if want_tbl != have_tbl:
             mismatches.append(
                 f"auto-clamp table: trained={want_tbl} current={have_tbl}")
+    # informational: dtype / resolution shifts also move numerics/AP,
+    # just far less than clamp-semantics mismatches
+    for knob, attr in (("compute_dtype", "compute_dtype"),
+                       ("input_res", "input_res")):
+        want_v = meta.get(knob)
+        have_v = getattr(cfg.model, attr, None)
+        if want_v is not None and want_v != have_v:
+            notes.append(f"{knob}: trained={want_v!r} eval={have_v!r}")
     if not mismatches:
+        if notes:
+            print(f"[ckpt] note: {path} eval knobs differ from train time "
+                  f"({'; '.join(notes)}) — numerics may shift slightly.",
+                  flush=True)
         return None
     msg = (
         f"[ckpt] WARNING: {path} was trained with different DCN semantics "
-        f"than this eval config ({'; '.join(mismatches)}).  The pallas "
-        "kernels' y-clamp makes dcn_impl part of the model function — "
-        "evaluate with the training impl or expect an AP gap (docs/DCN.md)."
+        f"than this eval config ({'; '.join(mismatches + notes)}).  The "
+        "pallas kernels' y-clamp makes dcn_impl part of the model function "
+        "— evaluate with the training impl or expect an AP gap "
+        "(docs/DCN.md)."
     )
     print(msg, flush=True)
     return msg

@@ -186,8 +186,12 @@ def test_ckpt_meta_and_impl_mismatch_warning(tmp_path):
         "model.dcn_max_dy", "4",
     ])
     assert warn_impl_mismatch(cfg_md, path) is not None
-    # checkpoints without a sidecar (pre-r4) stay silent
+    # sidecar-less checkpoints: silent under xla (unbounded semantics),
+    # but a PALLAS eval must warn that the clamp table may differ from
+    # train time (pre-r4 checkpoints trained under uniform +/-4)
     assert warn_impl_mismatch(cfg_eval, str(tmp_path / "nope")) is None
+    msg = warn_impl_mismatch(cfg_train, str(tmp_path / "nope"))
+    assert msg is not None and "clamp table" in msg
 
 
 def test_torchvision_resnet18_state_dict_import():
