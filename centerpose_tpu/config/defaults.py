@@ -46,6 +46,13 @@ class ModelConfig:
     # value forces that radius at every site (lowered to the structural cap
     # at W=128 sites).  The XLA impl is always unclamped.
     dcn_max_dy: int = 0
+    # Fold the offset/mask conv into the fused Pallas kernel (the
+    # reference's single-extension-call structure) and persist the
+    # channel-second [B,H,C,W] layout across the IDAUp chain.  Both are
+    # perf-only layout/fusion choices (same math, cross-checked in tests);
+    # the switches exist for A/B attribution (tools/ablate_dcn_overhead.py).
+    dcn_fused_om: bool = True
+    dcn_chsec: bool = True
 
     def heads(self) -> Dict[str, int]:
         """Head name -> channel count (reference: train.py heads dict)."""

@@ -88,6 +88,140 @@ def render_scene(
     return img, anns
 
 
+_LIMB_CHAINS = (
+    # (parent, child) chains articulated by the hard renderer
+    (5, 7), (7, 9),      # left arm: shoulder->elbow->wrist
+    (6, 8), (8, 10),     # right arm
+    (11, 13), (13, 15),  # left leg: hip->knee->ankle
+    (12, 14), (14, 16),  # right leg
+)
+
+
+def _articulate(joints: np.ndarray, rng: np.random.Generator,
+                max_deg: float = 45.0) -> np.ndarray:
+    """Rotate each limb segment about its parent joint by a random angle,
+    propagating down the chain — articulated poses instead of the rigid
+    canonical stick figure."""
+    j = joints.copy()
+    for parent, child in _LIMB_CHAINS:
+        ang = np.deg2rad(rng.uniform(-max_deg, max_deg))
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        # rotate the child and everything downstream of it
+        downstream = [child] + [cc for pp, cc in _LIMB_CHAINS if pp == child]
+        pivot = j[parent]
+        for d in downstream:
+            j[d] = pivot + rot @ (j[d] - pivot)
+    return j
+
+
+def make_person_hard(
+    rng: np.random.Generator, img_w: int, img_h: int
+) -> Tuple[Dict, np.ndarray]:
+    """Hard-mode person: log-uniform scale down to ~6% of image height
+    (≈8 output-grid cells at 512->128), articulated limbs, global tilt."""
+    ph = np.exp(rng.uniform(np.log(0.06), np.log(0.62))) * img_h
+    pw = ph * rng.uniform(0.3, 0.55)
+    x0 = rng.uniform(-0.2 * pw, img_w - 0.8 * pw)
+    y0 = rng.uniform(-0.2 * ph, img_h - 0.8 * ph)
+    joints = _CANON.copy()
+    joints[:, 0] = joints[:, 0] * pw
+    joints[:, 1] = joints[:, 1] * ph
+    joints = _articulate(joints, rng)
+    ang = np.deg2rad(rng.uniform(-25, 25))
+    c, s = np.cos(ang), np.sin(ang)
+    ctr = joints.mean(0)
+    joints = (joints - ctr) @ np.array([[c, s], [-s, c]], np.float32) + ctr
+    joints[:, 0] += x0 + rng.normal(0, 0.015 * pw, 17)
+    joints[:, 1] += y0 + rng.normal(0, 0.015 * ph, 17)
+    xs, ys = joints[:, 0], joints[:, 1]
+    bx0, by0 = float(xs.min()), float(ys.min())
+    bw, bh = float(xs.max() - bx0), float(ys.max() - by0)
+    vis = np.full(17, 2, np.int32)
+    inside = ((xs >= 0) & (xs < img_w) & (ys >= 0) & (ys < img_h))
+    vis[~inside] = 1  # labeled, outside the frame
+    kp = []
+    for j in range(17):
+        kp += [float(joints[j, 0]), float(joints[j, 1]), int(vis[j])]
+    ann = {
+        "bbox": [bx0, by0, bw, bh],
+        "keypoints": kp,
+        "area": bw * bh,
+        "iscrowd": 0,
+        "category_id": 1,
+    }
+    return ann, joints
+
+
+def render_scene_hard(
+    rng: np.random.Generator,
+    img_w: int = 640,
+    img_h: int = 480,
+    n_people: int = 6,
+) -> Tuple[np.ndarray, List[Dict]]:
+    """Hard benchmark scene (VERDICT r4 item 2): heavy crowding (overlap
+    allowed), log-uniform scale down to tiny persons, articulated poses,
+    low-contrast colors, skeleton-like background clutter (false-positive
+    bait), and occluder patches that flip covered joints to vis=1.
+
+    Purpose: an eval set where a converged flagship lands MID-RANGE AP
+    (0.4-0.7) so accuracy claims are falsifiable — the original easy set
+    saturates at ~0.99 where no regression under ~2 points is detectable."""
+    import cv2
+
+    img = np.full((img_h, img_w, 3), 40, np.uint8)
+    noise = rng.integers(0, 70, (img_h // 4, img_w // 4, 3), dtype=np.uint8)
+    img += cv2.resize(noise, (img_w, img_h), interpolation=cv2.INTER_NEAREST)
+
+    # skeleton-like clutter: limb-colored segments and small discs
+    for _ in range(int(rng.integers(6, 16))):
+        p = rng.uniform([0, 0], [img_w, img_h]).astype(int)
+        q = (p + rng.normal(0, 40, 2)).astype(int)
+        color = tuple(int(c) for c in rng.integers(70, 255, 3))
+        cv2.line(img, tuple(p), tuple(q), color, thickness=int(rng.integers(1, 4)))
+    for _ in range(int(rng.integers(3, 9))):
+        p = rng.uniform([0, 0], [img_w, img_h]).astype(int)
+        cv2.circle(img, tuple(p), int(rng.integers(2, 7)),
+                   tuple(int(c) for c in rng.integers(120, 255, 3)), -1)
+
+    anns: List[Dict] = []
+    all_joints: List[np.ndarray] = []
+    order = []
+    for i in range(n_people):
+        ann, joints = make_person_hard(rng, img_w, img_h)
+        order.append((ann["bbox"][3], ann, joints))  # draw big->small
+    order.sort(key=lambda t: -t[0])
+    for _, ann, joints in order:
+        color = tuple(int(c) for c in rng.integers(70, 255, 3))
+        th = max(1, int(ann["bbox"][3] / 45))
+        for a, b in COCO_EDGES:
+            cv2.line(img, tuple(joints[a].astype(int)),
+                     tuple(joints[b].astype(int)), color, thickness=th)
+        cv2.circle(img, tuple(joints[0].astype(int)),
+                   max(2, int(ann["bbox"][3] / 18)), color, -1)
+        for j in range(17):
+            cv2.circle(img, tuple(joints[j].astype(int)),
+                       max(1, th // 2), (255, 255, 255), -1)
+        anns.append(ann)
+        all_joints.append(joints)
+
+    # occluder patches over the rendered people; covered joints -> vis=1
+    for _ in range(int(rng.integers(1, 5))):
+        ow = int(rng.uniform(0.05, 0.22) * img_w)
+        oh = int(rng.uniform(0.05, 0.22) * img_h)
+        ox = int(rng.uniform(0, img_w - ow))
+        oy = int(rng.uniform(0, img_h - oh))
+        color = tuple(int(c) for c in rng.integers(20, 110, 3))
+        cv2.rectangle(img, (ox, oy), (ox + ow, oy + oh), color, -1)
+        for ann, joints in zip(anns, all_joints):
+            kp = ann["keypoints"]
+            for j in range(17):
+                jx, jy = joints[j]
+                if ox <= jx < ox + ow and oy <= jy < oy + oh and kp[3 * j + 2] == 2:
+                    kp[3 * j + 2] = 1
+    return img, anns
+
+
 class SyntheticEvalDataset:
     """Synthetic val split exposing the COCOHP evaluation interface.
 
@@ -149,16 +283,20 @@ class SyntheticPoseDataset:
     """
 
     def __init__(self, num_samples: int = 64, img_w: int = 640, img_h: int = 480,
-                 max_people: int = 3, seed: int = 0):
+                 max_people: int = 3, seed: int = 0, hard: bool = False):
         self.num_samples = num_samples
         self.img_w, self.img_h = img_w, img_h
-        self.max_people = max_people
+        self.max_people = 10 if (hard and max_people == 3) else max_people
         self.seed = seed
+        self.hard = hard
 
     def __len__(self):
         return self.num_samples
 
     def get_raw(self, i: int):
-        rng = np.random.default_rng((self.seed, i))
+        rng = np.random.default_rng((self.seed, i, int(self.hard)))
+        if self.hard:
+            n = int(rng.integers(3, self.max_people + 1))
+            return render_scene_hard(rng, self.img_w, self.img_h, n)
         n = int(rng.integers(1, self.max_people + 1))
         return render_scene(rng, self.img_w, self.img_h, n)

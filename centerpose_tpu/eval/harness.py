@@ -88,10 +88,21 @@ def evaluate_detector(
         times["merge"] += t3 - t2
         times["tot"] += t3 - t_disp
 
+    # keep_res pads each image to a stride multiple, so shapes vary per
+    # image and the same-shape single-dispatch fast path can't apply.
+    # Instead, (image, scale) slots accumulate into SHAPE BUCKETS across
+    # images and dispatch as one batched device call per bucket — mixed-
+    # shape multi-scale eval stops paying batch-1 dispatches (r4 weak #4).
+    bucketed = bool(getattr(detector.cfg.test, "keep_res", False))
+    bucket_cap = 4
+
     n_done = 0
     with ThreadPoolExecutor(max_workers=workers) as ex:
         pre_futs = deque()
         device_q = deque()
+        pending = {}           # img_id -> dict(dets, metas, remaining, t)
+        submit_order = deque()  # img_ids awaiting completion, FIFO
+        buckets = {}           # input shape -> [(img_id, scale_idx, imgs)]
         items_it = iter(items)
 
         def submit_more():
@@ -104,8 +115,30 @@ def evaluate_detector(
                 pre_futs.append(ex.submit(preproc, task))
             return True
 
+        def flush_bucket(shape=None):
+            for key in ([shape] if shape is not None else list(buckets)):
+                entries = buckets.pop(key, None)
+                if not entries:
+                    continue
+                imgs = np.concatenate([e[2] for e in entries], 0)
+                dets_all = detector._process_fn(detector.variables,
+                                                jnp.asarray(imgs))
+                ofs = 0
+                for img_id, si, arr in entries:
+                    k = arr.shape[0]
+                    pending[img_id]["dets"][si] = dets_all[ofs:ofs + k]
+                    ofs += k
+                    pending[img_id]["remaining"] -= 1
+
+        def harvest_completed():
+            while submit_order and pending[submit_order[0]]["remaining"] == 0:
+                img_id = submit_order.popleft()
+                ent = pending.pop(img_id)
+                device_q.append((img_id, ent["dets"], ent["metas"],
+                                 ent["t"]))
+
         more = submit_more()
-        while pre_futs or device_q:
+        while pre_futs or device_q or submit_order:
             if pre_futs:
                 # block for the oldest pre-processed image; the device keeps
                 # executing previously dispatched work meanwhile
@@ -113,6 +146,7 @@ def evaluate_detector(
                 times["pre"] += pre_dt
                 t_disp = time.time()
                 shapes = {im.shape for im, _ in per_scale}
+                metas = [meta for _, meta in per_scale]
                 if len(per_scale) > 1 and len(shapes) == 1:
                     # fix_res warps EVERY scale to the same input size, so
                     # all scales ride ONE device call (flip halves are
@@ -124,16 +158,35 @@ def evaluate_detector(
                         detector.variables, jnp.asarray(np.stack(batched)))
                     dets_devs = [dets_all[i:i + 1]
                                  for i in range(len(per_scale))]
+                    device_q.append((img_id, dets_devs, metas, t_disp))
+                elif bucketed:
+                    pending[img_id] = {"dets": [None] * len(per_scale),
+                                       "metas": metas,
+                                       "remaining": len(per_scale),
+                                       "t": t_disp}
+                    submit_order.append(img_id)
+                    for si, (images, _) in enumerate(per_scale):
+                        key = tuple(images.shape)
+                        buckets.setdefault(key, []).append(
+                            (img_id, si, images))
+                        if len(buckets[key]) >= bucket_cap:
+                            flush_bucket(key)
+                    # bound host memory: don't let partial buckets starve
+                    if len(submit_order) > max(inflight, bucket_cap) * 2:
+                        flush_bucket()
+                    harvest_completed()
                 else:
                     dets_devs = [
                         detector._process_fn(detector.variables,
                                              jnp.asarray(images))
                         for images, _ in per_scale
                     ]
-                metas = [meta for _, meta in per_scale]
-                device_q.append((img_id, dets_devs, metas, t_disp))
+                    device_q.append((img_id, dets_devs, metas, t_disp))
                 if more:
                     more = submit_more()
+            if not pre_futs:
+                flush_bucket()
+                harvest_completed()
             # drain device work beyond the in-flight window (fully at the end)
             while len(device_q) > inflight or (not pre_futs and device_q):
                 drain(device_q.popleft())

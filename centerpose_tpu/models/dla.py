@@ -32,6 +32,26 @@ from centerpose_tpu.models.common import ConvBN, HeadStack, bilinear_kernel
 from centerpose_tpu.ops.dcn import dcn_v2
 
 
+class _OffsetMaskParams(nn.Module):
+    """Parameter-only stand-in for the offset/mask ``nn.Conv``: declares the
+    identical ``{kernel, bias}`` subtree (checkpoint-compatible with models
+    trained before the om-fold) but lets the caller run the conv INSIDE the
+    fused Pallas kernel (``dcn_v2_pallas_fused``) or as an explicit
+    ``lax.conv`` on the XLA paths."""
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, cin: int):
+        w = self.param(
+            "kernel", nn.initializers.zeros,
+            (self.kernel, self.kernel, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return w, b
+
+
 class DCN(nn.Module):
     """Modulated deformable conv module: offset/mask conv branch + dcn_v2.
 
@@ -39,6 +59,15 @@ class DCN(nn.Module):
     sigmoid mask.)  ``impl`` selects the sampling backend: 'xla' gather+GEMM,
     'pallas' fused kernel, or 'conv' (plain conv ablation that ignores the
     learned offsets/mask — NOT a DCN; perf baseline only).
+
+    Under the pallas impls, supported sites run ``dcn_v2_pallas_fused``:
+    the offset/mask conv is computed inside the kernel from the resident
+    input slab (the reference's single-CUDA-extension-call structure,
+    SURVEY.md §2 #16) instead of as a standalone 27-channel XLA conv.
+
+    ``chsec``: input/output in channel-second [B, H, C, W] layout (layout
+    persistence across the IDAUp chain); sites that fall outside the fused
+    envelope transpose locally, so correctness never depends on the flag.
     """
 
     features: int
@@ -50,21 +79,28 @@ class DCN(nn.Module):
     # y-offset clamp radius for the fused kernels (0 = auto: per-width
     # DEFAULT_MAX_DY sized from the measured learned-offset envelope).
     max_dy: int = 0
+    fused_om: bool = True
+    chsec: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         k2 = self.kernel * self.kernel
         g = self.deformable_groups
         pad = self.dilation * (self.kernel - 1) // 2
+        if self.chsec:
+            b, h, cin, w = x.shape
+        else:
+            b, h, w, cin = x.shape
         weight = self.param(
             "kernel",
             nn.initializers.he_normal(),
-            (self.kernel, self.kernel, x.shape[-1], self.features),
+            (self.kernel, self.kernel, cin, self.features),
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if self.impl == "conv":
+            assert not self.chsec, "'conv' ablation path is NHWC-only"
             y = lax.conv_general_dilated(
                 x.astype(self.dtype),
                 weight.astype(self.dtype),
@@ -74,43 +110,71 @@ class DCN(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias
-        om = nn.Conv(
-            3 * k2 * g,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad)] * 2,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="conv_offset_mask",
-        )(x)
+
+        omw, omb = _OffsetMaskParams(
+            3 * k2 * g, self.kernel, name="conv_offset_mask")(cin)
+
+        if self.impl in ("pallas", "pallas_full"):
+            from centerpose_tpu.ops.dcn_pallas import (
+                dcn_v2_pallas,
+                dcn_v2_pallas_fused,
+                fused_om_supported,
+                pallas_supported,
+            )
+
+            # The om-fused kernel is the INFERENCE path only: in training
+            # the fused backward pays an om-residual round trip that the
+            # separate-conv path does not (A/B: 141.7 vs 139.2 ms dla_34
+            # step), while at inference the fold removes the standalone
+            # conv dispatch (output/dcn_overhead.json in_model_ab).
+            if (self.fused_om and not train and fused_om_supported(
+                    h, w, cin, self.features, self.kernel,
+                    self.stride, self.dilation, g, max_dy=self.max_dy)):
+                return dcn_v2_pallas_fused(
+                    x.astype(self.dtype), omw.astype(self.dtype),
+                    omb.astype(self.dtype), weight.astype(self.dtype), bias,
+                    self.stride, pad, self.dilation, g,
+                    self.impl == "pallas_full", self.max_dy,
+                    self.chsec, self.chsec,
+                )
+
+        # Non-fused paths run NHWC with an explicit offset/mask conv
+        # (identical math to the former nn.Conv module).
+        xn = jnp.transpose(x, (0, 1, 3, 2)) if self.chsec else x
+        om = lax.conv_general_dilated(
+            xn.astype(self.dtype), omw.astype(self.dtype),
+            (self.stride, self.stride), [(pad, pad)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + omb.astype(self.dtype)
         offset = om[..., : 2 * k2 * g]
         mask = jax.nn.sigmoid(om[..., 2 * k2 * g :])
         if self.impl in ("pallas", "pallas_full"):
-            from centerpose_tpu.ops.dcn_pallas import dcn_v2_pallas, pallas_supported
-
-            b, h, w, cin = x.shape
-            if pallas_supported(h, w, cin, self.features, self.kernel,
+            oh, ow = xn.shape[1], xn.shape[2]
+            if pallas_supported(oh, ow, cin, self.features, self.kernel,
                                 self.stride, self.dilation, g,
                                 max_dy=self.max_dy):
-                return dcn_v2_pallas(
-                    x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
+                out = dcn_v2_pallas(
+                    xn.astype(self.dtype), offset, mask,
+                    weight.astype(self.dtype),
                     bias, stride=self.stride, padding=pad,
                     dilation=self.dilation, deformable_groups=g,
                     kernel_bwd=(self.impl == "pallas_full"),
                     max_dy=self.max_dy,
                 )
+                return jnp.transpose(out, (0, 1, 3, 2)) if self.chsec else out
             # outside the fused kernel's envelope (shape or VMEM): XLA path
         if self.impl == "xla_patch":
             from centerpose_tpu.ops.dcn import dcn_v2_patch
 
-            return dcn_v2_patch(
-                x.astype(self.dtype), offset, mask, weight.astype(self.dtype),
+            out = dcn_v2_patch(
+                xn.astype(self.dtype), offset, mask, weight.astype(self.dtype),
                 bias, stride=self.stride, padding=pad,
                 dilation=self.dilation, deformable_groups=g,
             )
-        return dcn_v2(
-            x.astype(self.dtype),
+            return jnp.transpose(out, (0, 1, 3, 2)) if self.chsec else out
+        out = dcn_v2(
+            xn.astype(self.dtype),
             offset,
             mask,
             weight.astype(self.dtype),
@@ -120,23 +184,31 @@ class DCN(nn.Module):
             dilation=self.dilation,
             deformable_groups=g,
         )
+        return jnp.transpose(out, (0, 1, 3, 2)) if self.chsec else out
 
 
 class DeformConv(nn.Module):
-    """DCN 3x3 -> BN -> ReLU (reference: pose_dla_dcn.DeformConv)."""
+    """DCN 3x3 -> BN -> ReLU (reference: pose_dla_dcn.DeformConv).
+
+    ``chsec``: the whole block runs in channel-second [B, H, C, W] layout
+    (BN feature axis moves to -2; the param tree is unchanged)."""
 
     features: int
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
     dcn_max_dy: int = 0
+    dcn_fused_om: bool = True
+    chsec: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = DCN(self.features, impl=self.dcn_impl, max_dy=self.dcn_max_dy,
-                dtype=self.dtype)(x)
+                fused_om=self.dcn_fused_om, chsec=self.chsec,
+                dtype=self.dtype)(x, train)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis=-2 if self.chsec else -1,
             axis_name=self.bn_axis_name, dtype=self.dtype,
         )(x)
         return nn.relu(x)
@@ -180,11 +252,13 @@ def _upsample_1d(x: jnp.ndarray, axis: int, factor: int) -> jnp.ndarray:
     return acc
 
 
-def bilinear_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+def bilinear_upsample(x: jnp.ndarray, factor: int,
+                      chsec: bool = False) -> jnp.ndarray:
     """Fixed depthwise bilinear 2x/4x upsample (frozen fill_up_weights
-    transpose conv: kernel 2f, stride f, pad f//2, groups=C), separable."""
+    transpose conv: kernel 2f, stride f, pad f//2, groups=C), separable.
+    ``chsec``: x is [B, H, C, W] (spatial axes 1 and 3)."""
     x = _upsample_1d(x, 1, factor)  # H
-    x = _upsample_1d(x, 2, factor)  # W
+    x = _upsample_1d(x, 3 if chsec else 2, factor)  # W
     return x
 
 
@@ -337,6 +411,8 @@ class IDAUp(nn.Module):
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
     dcn_max_dy: int = 0
+    dcn_fused_om: bool = True
+    chsec: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -344,14 +420,16 @@ class IDAUp(nn.Module):
                  train: bool = False) -> List[jnp.ndarray]:
         layers = list(layers)
         common = dict(bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-                      dcn_max_dy=self.dcn_max_dy, dtype=self.dtype)
+                      dcn_max_dy=self.dcn_max_dy,
+                      dcn_fused_om=self.dcn_fused_om, chsec=self.chsec,
+                      dtype=self.dtype)
         for i in range(startp + 1, endp):
             f = int(self.up_factors[i - startp])
             p = DeformConv(self.features, name=f"proj_{i - startp}", **common)(
                 layers[i], train
             )
             if f > 1:
-                p = bilinear_upsample(p, f)
+                p = bilinear_upsample(p, f, chsec=self.chsec)
             layers[i] = DeformConv(self.features, name=f"node_{i - startp}", **common)(
                 p + layers[i - 1], train
             )
@@ -370,6 +448,8 @@ class DLAUp(nn.Module):
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
     dcn_max_dy: int = 0
+    dcn_fused_om: bool = True
+    chsec: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -384,7 +464,9 @@ class DLAUp(nn.Module):
             layers_tail = IDAUp(
                 channels[j], up_f, name=f"ida_{i}",
                 bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-                dcn_max_dy=self.dcn_max_dy, dtype=self.dtype,
+                dcn_max_dy=self.dcn_max_dy,
+                dcn_fused_om=self.dcn_fused_om, chsec=self.chsec,
+                dtype=self.dtype,
             )(layers, len(layers) + j, len(layers), train)
             layers = layers_tail
             out.insert(0, layers[-1])
@@ -407,6 +489,8 @@ class DLASeg(nn.Module):
     bn_axis_name: Optional[str] = None
     dcn_impl: str = "xla"
     dcn_max_dy: int = 0
+    dcn_fused_om: bool = True
+    dcn_chsec: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -416,10 +500,21 @@ class DLASeg(nn.Module):
         feats = DLATrunk(
             bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="base"
         )(x, train)
+        # Channel-second persistence: under the fused Pallas impls the whole
+        # DLAUp/IDAUp chain runs in [B, H, C, W] — one transpose per trunk
+        # level in, one out before the heads, instead of an NHWC round-trip
+        # around each of the 16 DCN sites (VERDICT r4 item 1b).
+        chsec = (self.dcn_chsec
+                 and self.dcn_impl in ("pallas", "pallas_full"))
+        if chsec:
+            feats = (list(feats[:first_level])
+                     + [jnp.transpose(f, (0, 1, 3, 2))
+                        for f in feats[first_level:]])
         outs = DLAUp(
             first_level, trunk_channels[first_level:],
             bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-            dcn_max_dy=self.dcn_max_dy, dtype=self.dtype, name="dla_up",
+            dcn_max_dy=self.dcn_max_dy, dcn_fused_om=self.dcn_fused_om,
+            chsec=chsec, dtype=self.dtype, name="dla_up",
         )(feats, train)
 
         y = list(outs[: self.last_level - first_level])
@@ -427,7 +522,9 @@ class DLASeg(nn.Module):
             trunk_channels[first_level],
             [2 ** i for i in range(self.last_level - first_level)],
             bn_axis_name=self.bn_axis_name, dcn_impl=self.dcn_impl,
-            dcn_max_dy=self.dcn_max_dy, dtype=self.dtype, name="ida_up",
+            dcn_max_dy=self.dcn_max_dy, dcn_fused_om=self.dcn_fused_om,
+            chsec=chsec, dtype=self.dtype, name="ida_up",
         )(y, 0, len(y), train)
 
-        return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(y[-1])
+        out = jnp.transpose(y[-1], (0, 1, 3, 2)) if chsec else y[-1]
+        return HeadStack(self.heads, self.head_conv, dtype=self.dtype)(out)

@@ -89,6 +89,8 @@ def _dla34(cfg):
         bn_axis_name=_bn_axis(cfg),
         dcn_impl=cfg.model.dcn_impl,
         dcn_max_dy=cfg.model.dcn_max_dy,
+        dcn_fused_om=cfg.model.dcn_fused_om,
+        dcn_chsec=cfg.model.dcn_chsec,
         dtype=_dtype(cfg),
     )
 

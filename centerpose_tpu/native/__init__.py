@@ -79,6 +79,12 @@ def _load():
 
 
 def available() -> bool:
+    # CENTERPOSE_DISABLE_NATIVE=1 forces the pure-Python fallbacks — used by
+    # tools/bench_input_pipeline.py to A/B the C++ encoder against the
+    # Python behavioral reference (works across process-pool workers since
+    # the env propagates to forked children).
+    if os.environ.get("CENTERPOSE_DISABLE_NATIVE"):
+        return False
     return _load() is not None
 
 

@@ -87,19 +87,40 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)  # output row-block index
-    f32 = jnp.float32
-    PAD = 8
-    SLAB = br + 2 * PAD
 
     # Fetch this block's slab of source rows [i*br - 8, i*br + br + 8).
     # br=16 amortizes the slab z-projection over twice the output rows
     # (2x slab rows per output row instead of 3x) and halves the per-block
     # loop overhead; chosen by _rowmajor_br when VMEM permits.
     slab = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * br, SLAB)], xs_ref, dma_sem
+        x_hbm.at[bi, pl.ds(i * br, br + 16)], xs_ref, dma_sem
     )
     slab.start()
     slab.wait()
+
+    def rd_dy(k):
+        return off_ref[0, :, 2 * k, :].astype(jnp.float32)
+
+    def rd_dx(k):
+        return off_ref[0, :, 2 * k + 1, :].astype(jnp.float32)
+
+    def rd_mk(k):
+        return mask_ref[0, :, k, :].astype(jnp.float32)
+
+    _rowmajor_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref,
+                       w=w, cin=cin, cout=cout, max_dy=max_dy, br=br)
+
+
+def _rowmajor_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref, *,
+                       w, cin, cout, max_dy, br):
+    """Shared tap/band loop of the row-major forward: per (tap, y-band) a
+    transposed one-hot carries the bilinear-x corner weights and the whole
+    gather+contraction rides the MXU (see _dcn_kernel docstring).  Offsets
+    and masks come through reader callables so the om-fused kernel variant
+    (offset conv computed in-kernel) shares every line of this loop."""
+    f32 = jnp.float32
+    PAD = 8
+    SLAB = br + 2 * PAD
 
     lane_x = lax.broadcasted_iota(jnp.int32, (br, w), 1).astype(f32)
     iota_sub = lax.broadcasted_iota(jnp.int32, (br, w, w), 1)  # src sublanes
@@ -123,9 +144,8 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
         # per-band [8, W, W] one-hot temporaries; see the dx kernel).
         def d_body(di, _, *, ky=ky, kx=kx, k=k):
             d = di + (ky - max_dy)  # source-row offset band
-            dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32),
-                          -max_dy, max_dy)
-            mk = mask_ref[0, :, k, :].astype(f32)
+            dy = jnp.clip(rd_dy(k), -max_dy, max_dy)
+            mk = rd_mk(k)
 
             fy = ky + dy
             y0f = jnp.floor(fy)
@@ -141,7 +161,7 @@ def _dcn_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref, z_ref, xs_ref,
             # per-site clamp radii nearly free at typical offsets.
             @pl.when(jnp.sum(wy_d) > 0.0)
             def _band():
-                dxo = off_ref[0, :, 2 * k + 1, :].astype(f32)
+                dxo = rd_dx(k)
                 sx = lane_x + kx + dxo
                 x0 = jnp.floor(sx)
                 wx1 = sx - x0
@@ -229,6 +249,121 @@ def _dcn_pallas_fwd_impl(x, offset, mask, weight, bias, max_dy):
     return out.astype(x.dtype)
 
 
+def _om_wmat(omw: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Cin,27g) offset/mask conv weight -> [9*32, Cin] projection
+    layout (tap-major rows, channels padded 27->32 so per-tap slices of the
+    in-kernel zom scratch stay sublane-aligned)."""
+    kh, kw, cin, oc = omw.shape
+    assert (kh, kw) == (3, 3) and oc == 27, omw.shape
+    wt = jnp.transpose(omw, (0, 1, 3, 2)).reshape(9, oc, cin)
+    wt = jnp.pad(wt, ((0, 0), (0, 32 - oc), (0, 0)))
+    return wt.reshape(9 * 32, cin)
+
+
+def _om_readers(om_ref):
+    """Offset/mask readers over the in-kernel om scratch [br, 32, Wl]:
+    channels 0..17 = (dy, dx) interleaved per tap, 18..26 = pre-sigmoid
+    mask logits (sigmoid applied at read — 9 [br, Wl] VPU sigmoids/block)."""
+
+    def rd_dy(k):
+        return om_ref[:, 2 * k, :]
+
+    def rd_dx(k):
+        return om_ref[:, 2 * k + 1, :]
+
+    def rd_mk(k):
+        return jax.nn.sigmoid(om_ref[:, 18 + k, :])
+
+    return rd_dy, rd_dx, rd_mk
+
+
+def _om_from_slab(xs_ref, omw_ref, omb_ref, zom_ref, om_ref, *, cin, w, br,
+                  grp=1):
+    """Fold of the 27-channel offset/mask conv (the reference DCN module's
+    ``conv_offset_mask``; previously a standalone XLA conv per site whose
+    27-wide output pads to 128 MXU lanes) computed from the already-resident
+    x slab — VERDICT r4 item 1a.
+
+    zom[q] = W_om_flat @ x[PAD-1+q] on the MXU ([9*32, Cin] @ [Cin, Wl]);
+    then om[s] = bias + sum_k lane_shift(zom[s+ky+1][tap k], shift_k):
+
+    * row-major (grp=1): the ky row shift is a sublane ``pl.ds`` read, the
+      kx shift a cyclic lane roll with the wrapped column masked (conv zero
+      padding in W);
+    * row-grouped (grp>1): lanes hold grp image rows, so the whole (ky, kx)
+      shift is one lane shift t = ky*W + kx; lanes that cross the 128-lane
+      boundary belong to the adjacent grouped row, and a cyclic roll of THAT
+      row provides exactly the wrapped lanes — two extra rolls + a select,
+      no gather.  x+kx outside [0, W) masks to zero (the conv's W padding);
+      y out-of-image rows are zero via the slab's zero padding.
+    """
+    f32 = jnp.float32
+    PAD = 8
+    wl = 128 if grp > 1 else w
+    lane = lax.broadcasted_iota(jnp.int32, (br, 32, wl), 2)
+    x_of_lane = (lane % w) if grp > 1 else lane
+
+    def lshift(v, t):
+        # out[.., p] = v[.., (p + t) mod wl]  (pltpu.roll wants shift >= 0)
+        return pltpu.roll(v, (-t) % wl, 2)
+    for j in range(PAD - 1, PAD + br + 1):
+        zj = lax.dot_general(
+            omw_ref[...], xs_ref[j][:cin].astype(omw_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        zom_ref[j - (PAD - 1)] = zj.astype(zom_ref.dtype)
+    acc = jnp.broadcast_to(omb_ref[...][None], (br, 32, wl)).astype(f32)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        if grp == 1:
+            v = zom_ref[pl.ds(1 + ky, br), k * 32:(k + 1) * 32, :].astype(f32)
+            if kx:
+                v = lshift(v, kx)
+        else:
+            t = ky * w + kx
+            cur = zom_ref[pl.ds(1, br), k * 32:(k + 1) * 32, :].astype(f32)
+            if t == 0:
+                v = cur
+            else:
+                prv = zom_ref[pl.ds(0, br), k * 32:(k + 1) * 32, :].astype(f32)
+                nxt = zom_ref[pl.ds(2, br), k * 32:(k + 1) * 32, :].astype(f32)
+                lt = lane + t
+                v = jnp.where(
+                    lt >= wl, lshift(nxt, t),
+                    jnp.where(lt < 0, lshift(prv, t), lshift(cur, t)))
+        if kx:
+            xk = x_of_lane + kx
+            v = jnp.where((xk >= 0) & (xk <= w - 1), v, 0.0)
+        acc = acc + v
+    om_ref[...] = acc
+
+
+def _dcn_kernel_fom(x_hbm, omw_ref, omb_ref, w_ref, o_ref,
+                    z_ref, xs_ref, zom_ref, om_ref, dma_sem,
+                    *, h, w, cin, cout, max_dy, br=8):
+    """Row-major forward with the offset/mask conv folded in: identical
+    tap/band loop (_rowmajor_fwd_body), but offsets/masks are computed
+    in-kernel by _om_from_slab instead of arriving as pre-computed XLA conv
+    outputs routed through HBM + layout transposes.
+
+    ``om_ref`` is VMEM scratch [br, 32, W] at inference, or an OUTPUT block
+    [1, br, 32, W] under training (``emit_om``): the computed om lands in
+    HBM as a VJP residual so the backward never recomputes the conv."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * br, br + 16)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
+    omv = om_ref.at[0] if len(om_ref.shape) == 4 else om_ref
+    _om_from_slab(xs_ref, omw_ref, omb_ref, zom_ref, omv,
+                  cin=cin, w=w, br=br)
+    rd_dy, rd_dx, rd_mk = _om_readers(omv)
+    _rowmajor_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref,
+                       w=w, cin=cin, cout=cout, max_dy=max_dy, br=br)
+
+
 def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
                         z_ref, xs_ref, dma_sem, *, grp, w, cin, cout, br,
                         max_dy):
@@ -255,6 +390,52 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
+
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * br, br + 16)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
+
+    def rd_dy(k):
+        return off_ref[0, :, 2 * k, :].astype(jnp.float32)
+
+    def rd_dx(k):
+        return off_ref[0, :, 2 * k + 1, :].astype(jnp.float32)
+
+    def rd_mk(k):
+        return mask_ref[0, :, k, :].astype(jnp.float32)
+
+    _grouped_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref,
+                      grp=grp, w=w, cin=cin, cout=cout, br=br, max_dy=max_dy)
+
+
+def _dcn_grouped_kernel_fom(x_hbm, omw_ref, omb_ref, w_ref, o_ref,
+                            z_ref, xs_ref, zom_ref, om_ref, dma_sem,
+                            *, grp, w, cin, cout, br, max_dy):
+    """Row-grouped forward with the offset/mask conv folded in (see
+    _dcn_kernel_fom / _om_from_slab).  ``om_ref``: scratch, or an output
+    block under ``emit_om`` (training residual)."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    slab = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(i * br, br + 16)], xs_ref, dma_sem
+    )
+    slab.start()
+    slab.wait()
+    omv = om_ref.at[0] if len(om_ref.shape) == 4 else om_ref
+    _om_from_slab(xs_ref, omw_ref, omb_ref, zom_ref, omv,
+                  cin=cin, w=w, br=br, grp=grp)
+    rd_dy, rd_dx, rd_mk = _om_readers(omv)
+    _grouped_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref,
+                      grp=grp, w=w, cin=cin, cout=cout, br=br, max_dy=max_dy)
+
+
+def _grouped_fwd_body(rd_dy, rd_dx, rd_mk, w_ref, o_ref, z_ref, xs_ref, *,
+                      grp, w, cin, cout, br, max_dy):
+    """Shared tap/slab loop of the row-grouped forward (see
+    _dcn_grouped_kernel docstring); offsets/masks come through reader
+    callables so the om-fused variant shares every line."""
     f32 = jnp.float32
     PAD = 8
     SLAB = br + 2 * PAD
@@ -262,12 +443,6 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
     shift = max_dy + 1
     m_lo = -(shift // grp + 1)
     m_hi = (grp - 1 + shift + 1) // grp
-
-    slab = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * br, SLAB)], xs_ref, dma_sem
-    )
-    slab.start()
-    slab.wait()
 
     lane = lax.broadcasted_iota(jnp.int32, (br, 128), 1)
     lane_g = (lane // w).astype(f32)
@@ -291,9 +466,9 @@ def _dcn_grouped_kernel(off_ref, mask_ref, x_hbm, w_ref, o_ref,
             )
             z_ref[j] = zj.astype(z_ref.dtype)
 
-        dy = jnp.clip(off_ref[0, :, 2 * k, :].astype(f32), -max_dy, max_dy)
-        dx = off_ref[0, :, 2 * k + 1, :].astype(f32)
-        mk = mask_ref[0, :, k, :].astype(f32)
+        dy = jnp.clip(rd_dy(k), -max_dy, max_dy)
+        dx = rd_dx(k)
+        mk = rd_mk(k)
 
         sx = lane_x + kx + dx
         x0 = jnp.floor(sx)
@@ -415,6 +590,186 @@ def _dcn_pallas_grouped_impl(x, offset, mask, weight, bias, max_dy):
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
+
+
+def _dcn_pallas_fwd_fom_impl(x, omw, omb, weight, bias, max_dy,
+                             chsec_in=False, chsec_out=False,
+                             emit_om=False):
+    """Row-major om-fused forward.  ``chsec_in``/``chsec_out`` accept /
+    produce the channel-second [B, H, C, W] layout directly (persistence
+    across the IDAUp chain, VERDICT r4 item 1b) — NHWC otherwise.
+
+    ``emit_om``: also return the computed offset/mask conv output as NHWC
+    [B, H, W, 27] (training residual — saves the backward an om recompute,
+    which measured +3.2 ms on the dla_34 train step)."""
+    if chsec_in:
+        b, h, cin, w = x.shape
+        xt = x.astype(jnp.float32)
+    else:
+        b, h, w, cin = x.shape
+        xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    kh, kw, wcin, cout = weight.shape
+    assert (kh, kw) == (3, 3) and wcin == cin
+    assert w == 128 and h % 8 == 0, (h, w)
+    assert max_dy <= _ROWMAJOR_DY_CAP, (max_dy, _ROWMAJOR_DY_CAP)
+    k = kh * kw
+    PAD = 8
+
+    xt = jnp.pad(xt, ((0, 0), (PAD, PAD), (0, _roundup(cin, 8) - cin),
+                      (0, 0)))
+    wmat = jnp.transpose(weight, (0, 1, 3, 2)).reshape(
+        k * cout, cin).astype(jnp.float32)
+    omwm = _om_wmat(omw).astype(jnp.bfloat16)
+    ombp = jnp.broadcast_to(
+        jnp.pad(omb.astype(jnp.float32), (0, 32 - 27))[:, None], (32, w))
+
+    br = _rowmajor_br(h, w, cin, cout)
+    slab_rows = br + 2 * PAD
+    grid = (b, h // br)
+    static = dict(h=h, w=w, cin=cin, cout=cout, max_dy=max_dy, br=br)
+    if emit_om:
+        def kern(x_hbm, omw_r, omb_r, w_r, o_r, om_r, z_r, xs_r, zom_r, sem):
+            _dcn_kernel_fom(x_hbm, omw_r, omb_r, w_r, o_r, z_r, xs_r,
+                            zom_r, om_r, sem, **static)
+    else:
+        kern = functools.partial(_dcn_kernel_fom, **static)
+    out_specs = pl.BlockSpec((1, br, cout, w), lambda bi, i: (bi, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, h, cout, w), jnp.float32)
+    om_spec = pl.BlockSpec((1, br, 32, w), lambda bi, i: (bi, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    om_shape = jax.ShapeDtypeStruct((b, h, 32, w), jnp.float32)
+    scratch = [
+        pltpu.VMEM((slab_rows, k * cout, w), jnp.bfloat16),
+        pltpu.VMEM((slab_rows, _roundup(cin, 8), w), jnp.float32),
+        pltpu.VMEM((br + 2, 9 * 32, w), jnp.bfloat16),
+    ]
+    if not emit_om:
+        scratch.append(pltpu.VMEM((br, 32, w), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; slab DMA
+            pl.BlockSpec((9 * 32, cin), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, w), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cout, cin), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_specs, om_spec] if emit_om else out_specs,
+        out_shape=[out_shape, om_shape] if emit_om else out_shape,
+        scratch_shapes=scratch,
+        interpret=_INTERPRET[0],
+    )(xt, omwm, ombp, wmat)
+    out, om_raw = res if emit_om else (res, None)
+    if chsec_out:
+        if bias is not None:
+            out = out + bias[None, None, :, None]
+        out = out.astype(x.dtype)
+    else:
+        out = jnp.transpose(out, (0, 1, 3, 2))  # [B, H, W, Cout]
+        if bias is not None:
+            out = out + bias
+        out = out.astype(x.dtype)
+    if not emit_om:
+        return out
+    om_nhwc = jnp.transpose(om_raw, (0, 1, 3, 2))[..., :27]
+    return out, om_nhwc
+
+
+def _dcn_pallas_grouped_fom_impl(x, omw, omb, weight, bias, max_dy,
+                                 chsec_in=False, chsec_out=False,
+                                 emit_om=False):
+    """Row-grouped om-fused forward for W in {16, 32, 64}.  ``emit_om``:
+    also return the om conv output as NHWC [B, H, W, 27] (training
+    residual; see _dcn_pallas_fwd_fom_impl)."""
+    if chsec_in:
+        b, h, cin, w = x.shape
+        xt = x.astype(jnp.float32)
+    else:
+        b, h, w, cin = x.shape
+        xt = jnp.transpose(x, (0, 1, 3, 2)).astype(jnp.float32)
+    kh, kw, wcin, cout = weight.shape
+    grp = 128 // w
+    hg = h // grp
+    br = _grouped_fom_br(h, w, cin, cout, max_dy)
+    assert br > 0, (h, w, cin, cout, max_dy)
+    k = kh * kw
+    PAD = 8
+    bot = 8
+
+    xt = jnp.pad(xt, ((0, 0), (PAD * grp, bot * grp),
+                      (0, _roundup(cin, 8) - cin), (0, 0)))
+    xg = _group_rows(xt, grp)
+    wmat = jnp.transpose(weight, (0, 1, 3, 2)).reshape(
+        k * cout, cin).astype(jnp.bfloat16)
+    omwm = _om_wmat(omw).astype(jnp.bfloat16)
+    ombp = jnp.broadcast_to(
+        jnp.pad(omb.astype(jnp.float32), (0, 32 - 27))[:, None], (32, 128))
+
+    grid = (b, hg // br)
+    static = dict(grp=grp, w=w, cin=cin, cout=cout, br=br, max_dy=max_dy)
+    if emit_om:
+        def kern(x_hbm, omw_r, omb_r, w_r, o_r, om_r, z_r, xs_r, zom_r, sem):
+            _dcn_grouped_kernel_fom(x_hbm, omw_r, omb_r, w_r, o_r, z_r,
+                                    xs_r, zom_r, om_r, sem, **static)
+    else:
+        kern = functools.partial(_dcn_grouped_kernel_fom, **static)
+    o_spec = pl.BlockSpec((1, br, cout, 128), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((b, hg, cout, 128), jnp.float32)
+    om_spec = pl.BlockSpec((1, br, 32, 128), lambda bi, i: (bi, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    om_shape = jax.ShapeDtypeStruct((b, hg, 32, 128), jnp.float32)
+    scratch = [
+        pltpu.VMEM((br + 16, cout, 128), jnp.bfloat16),
+        pltpu.VMEM((br + 16, _roundup(cin, 8), 128), jnp.float32),
+        pltpu.VMEM((br + 2, 9 * 32, 128), jnp.bfloat16),
+    ]
+    if not emit_om:
+        scratch.append(pltpu.VMEM((br, 32, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; slab DMA
+            pl.BlockSpec((9 * 32, cin), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * cout, cin), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[o_spec, om_spec] if emit_om else o_spec,
+        out_shape=[o_shape, om_shape] if emit_om else o_shape,
+        scratch_shapes=scratch,
+        interpret=_INTERPRET[0],
+    )(xg, omwm, ombp, wmat)
+    out, om_raw = res if emit_om else (res, None)
+    if chsec_out:
+        out = jnp.transpose(
+            out.reshape(b, hg, cout, grp, w), (0, 1, 3, 2, 4)
+        ).reshape(b, h, cout, w)
+        if bias is not None:
+            out = out + bias[None, None, :, None]
+        out = out.astype(x.dtype)
+    else:
+        out = jnp.transpose(
+            out.reshape(b, hg, cout, grp, w), (0, 1, 3, 4, 2)
+        ).reshape(b, h, w, cout)
+        if bias is not None:
+            out = out + bias
+        out = out.astype(x.dtype)
+    if not emit_om:
+        return out
+    om_nhwc = jnp.transpose(
+        om_raw.reshape(b, hg, 32, grp, w), (0, 1, 3, 4, 2)
+    ).reshape(b, h, w, 32)[..., :27]
+    return out, om_nhwc
 
 
 def _dcn_grouped_bwd_kernel(off_ref, mask_ref, x_ref, w_ref, ct_ref,
@@ -662,6 +1017,13 @@ def _dcn_pallas_grouped_bwd_impl(x, offset, mask, weight, ct, max_dy,
         ],
         interpret=_INTERPRET[0],
     )(offg, maskg, xg, wmat, ctg)
+    # Keep the gradient outputs OUT of scoped VMEM: without the barrier,
+    # XLA may place the (small) doff/dmask/dw outputs in VMEM to fuse with
+    # their consumers, stacking ~4 MB on top of the kernel's own scoped
+    # budget and blowing the 16 MiB cap (observed on v5e when the consumer
+    # chain changed: "Scoped allocation ... exceeded scoped vmem limit").
+    dxg, doffg, dmaskg, dw = lax.optimization_barrier(
+        (dxg, doffg, dmaskg, dw))
 
     def ungroup_ch(t, ch):
         # [B, Hg', ch, 128] -> [B, H', W, ch] (reverse of _group_rows + transpose)
@@ -1319,6 +1681,171 @@ def pallas_supported(
             or _rowmajor_ok(h, w, cin, cout, md))
 
 
+def _fom_extra_bytes(wl: int, cin: int, br: int) -> int:
+    """Additional scoped VMEM of the om-fused forward variants: the zom
+    projection scratch, the om block, and the omw/omb operands."""
+    zom = 2 * (br + 2) * 288 * wl
+    # om: scratch at inference; a double-buffered OUTPUT block when the
+    # training path emits it as a residual — count the larger
+    om = 2 * 4 * br * 32 * wl
+    omw = 2 * 288 * _roundup(cin, 128)
+    omb = 4 * 32 * wl
+    return zom + om + omw + omb
+
+
+def _fom_saved_bytes(wl: int, br: int) -> int:
+    """Double-buffered off/mask input blocks the fused variants drop."""
+    return 2 * 4 * br * (_roundup(18, 8) + _roundup(9, 8)) * wl
+
+
+def _rowmajor_fom_ok(h: int, w: int, cin: int, cout: int,
+                     max_dy: int) -> bool:
+    # lane rolls in _om_from_slab assume full 128-lane rows
+    if w != 128 or h % 8 or max_dy > _ROWMAJOR_DY_CAP:
+        return False
+    br = _rowmajor_br(h, w, cin, cout)
+    return (pallas_vmem_bytes(h, w, cin, cout, max_dy, br)
+            + _fom_extra_bytes(w, cin, br) - _fom_saved_bytes(w, br)
+            <= _VMEM_LIMIT)
+
+
+def _grouped_fom_br(h: int, w: int, cin: int, cout: int, max_dy: int) -> int:
+    grp = 128 // w
+    hg = h // grp
+    for br in (16, 8, min(8, hg)):
+        if (0 < br <= hg and hg % br == 0
+                and _grouped_dy_ok(grp, br, max_dy)
+                and grouped_vmem_bytes(h, w, cin, cout, max_dy, br)
+                + _fom_extra_bytes(128, cin, br) - _fom_saved_bytes(128, br)
+                <= _VMEM_LIMIT):
+            return br
+    return 0
+
+
+def _grouped_fom_ok(h: int, w: int, cin: int, cout: int, max_dy: int) -> bool:
+    if w not in (16, 32, 64) or h % (128 // w):
+        return False
+    return _grouped_fom_br(h, w, cin, cout, max_dy) > 0
+
+
+def fused_om_supported(
+    h: int, w: int, cin: int, cout: int, kernel: int = 3, stride: int = 1,
+    dilation: int = 1, deformable_groups: int = 1, max_dy: int = 0,
+) -> bool:
+    """True when the om-fused kernel variant handles this site.  The clamp
+    radius resolves identically to the non-fused path (resolve_max_dy), so
+    fused and non-fused forwards compute the same function."""
+    if not (kernel == 3 and stride == 1 and dilation == 1
+            and deformable_groups == 1):
+        return False
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    return (_grouped_fom_ok(h, w, cin, cout, md)
+            or _rowmajor_fom_ok(h, w, cin, cout, md))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def dcn_v2_pallas_fused(x, omw, omb, weight, bias=None, stride=1, padding=1,
+                        dilation=1, deformable_groups=1, kernel_bwd=False,
+                        max_dy=0, chsec_in=False, chsec_out=False):
+    """DCNv2 with the offset/mask conv FOLDED INTO the fused Pallas forward
+    (VERDICT r4 item 1a; reference analog: the DCN module's
+    conv_offset_mask + deformable gather + GEMM run as ONE CUDA extension
+    call, SURVEY.md §2 #16).
+
+    ``omw`` [3,3,Cin,27] / ``omb`` [27] are the offset/mask conv params;
+    the kernel computes om = conv3x3(x) from its already-resident input
+    slab (projection on the MXU at ~243/256 row occupancy vs the 27/128
+    lane occupancy of the standalone XLA conv), removing the conv dispatch
+    AND the off/mask NHWC->channel-second transposes from the hot path.
+
+    ``chsec_in``/``chsec_out`` take/produce channel-second [B, H, C, W]
+    tensors directly so consecutive DCNs in the IDAUp chain skip their
+    NHWC layout round-trips (item 1b).
+
+    Backward: the VJP recomputes om with one XLA conv (f32), routes
+    through the shared _bwd_core (fused grouped / split W=128 / XLA
+    fallback), converts dmask through the sigmoid, and chains the conv's
+    VJP for d(omw)/d(omb)/the om path of dx."""
+    assert stride == 1 and padding == 1 and dilation == 1
+    assert deformable_groups == 1
+    if chsec_in:
+        b, h, cin, w = x.shape
+    else:
+        b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    if _grouped_fom_ok(h, w, cin, cout, md):
+        return _dcn_pallas_grouped_fom_impl(x, omw, omb, weight, bias, md,
+                                            chsec_in, chsec_out)
+    return _dcn_pallas_fwd_fom_impl(x, omw, omb, weight, bias, md,
+                                    chsec_in, chsec_out)
+
+
+def _fused_fwd(x, omw, omb, weight, bias, stride, padding, dilation, g, kb,
+               max_dy, chsec_in, chsec_out):
+    b, h, w, cin = ((x.shape[0], x.shape[1], x.shape[3], x.shape[2])
+                    if chsec_in else x.shape)
+    cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    # emit_om: the kernel writes its computed offset/mask conv output to
+    # HBM as a residual, so the backward never replays the conv (the
+    # recompute variant measured +3.2 ms on the dla_34 train step) and the
+    # gradients see EXACTLY the offsets the forward sampled with.
+    impl = (_dcn_pallas_grouped_fom_impl
+            if _grouped_fom_ok(h, w, cin, cout, md)
+            else _dcn_pallas_fwd_fom_impl)
+    out, om = impl(x, omw, omb, weight, bias, md, chsec_in, chsec_out,
+                   emit_om=True)
+    return out, (x, omw, omb, weight, bias, om)
+
+
+def _fused_bwd(stride, padding, dilation, g, kernel_bwd, max_dy, chsec_in,
+               chsec_out, res, ct):
+    x, omw, omb, weight, bias, om = res
+    f32 = jnp.float32
+    xn = jnp.transpose(x, (0, 1, 3, 2)) if chsec_in else x
+    b, h, w, cin = xn.shape
+    cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    ctn = jnp.transpose(ct, (0, 1, 3, 2)) if chsec_out else ct
+
+    offset = om[..., :18]
+    mask = jax.nn.sigmoid(om[..., 18:])
+    bias_in = jnp.zeros((cout,), f32) if bias is None else bias
+    dx, doff, dmask, dweight, dbias = _bwd_core(
+        xn, offset, mask, weight, bias_in, ctn, md, kernel_bwd,
+        stride, padding, dilation, g)
+    dmask_pre = dmask.astype(f32) * mask * (1.0 - mask)
+    dom = jnp.concatenate([doff.astype(f32), dmask_pre], -1)
+    # conv VJPs via linear_transpose: no forward replay of the om conv
+    xn32 = xn.astype(f32)
+    omw32 = omw.astype(f32)
+
+    def conv_x(xf):
+        return lax.conv_general_dilated(
+            xf, omw32, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def conv_w(wf):
+        return lax.conv_general_dilated(
+            xn32, wf, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    (dx_om,) = jax.linear_transpose(conv_x, xn32)(dom)
+    (domw,) = jax.linear_transpose(conv_w, omw32)(dom)
+    domb = dom.sum((0, 1, 2))
+    dx_total = dx.astype(f32) + dx_om
+    if chsec_in:
+        dx_total = jnp.transpose(dx_total, (0, 1, 3, 2))
+    return (dx_total.astype(x.dtype), domw.astype(omw.dtype),
+            domb.astype(omb.dtype), dweight.astype(weight.dtype),
+            None if bias is None else jnp.asarray(dbias).astype(
+                jnp.asarray(bias).dtype))
+
+
+dcn_v2_pallas_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def dcn_v2_pallas(x, offset, mask, weight, bias=None, stride=1, padding=1,
                   dilation=1, deformable_groups=1, kernel_bwd=False,
@@ -1352,19 +1879,20 @@ def _fwd(x, offset, mask, weight, bias, stride, padding, dilation, g, kb,
     return out, (x, offset, mask, weight, bias)
 
 
-def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
-    x, offset, mask, weight, bias = res
+def _bwd_core(x, offset, mask, weight, bias, ct, md, kernel_bwd,
+              stride=1, padding=1, dilation=1, g=1):
+    """Shared gradient machinery (NHWC): fused grouped backward, split
+    W=128 backward, or clamp-matched XLA autodiff — returns the 5-tuple
+    (dx, doffset, dmask, dweight, dbias).  Used by both dcn_v2_pallas's
+    VJP (explicit offset/mask inputs) and dcn_v2_pallas_fused's (offset
+    conv folded; its VJP recomputes offset/mask then chains the conv)."""
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
-    md = resolve_max_dy(h, w, cin, cout, max_dy)
 
     if kernel_bwd and _grouped_bwd_ok(h, w, cin, cout, md):
-        dx, doff, dmask, dweight, dbias = _dcn_pallas_grouped_bwd_impl(
+        return _dcn_pallas_grouped_bwd_impl(
             x, offset, mask, weight, ct, max_dy=md
         )
-        return (dx, doff, dmask, dweight,
-                None if bias is None else dbias.astype(
-                    jnp.asarray(bias).dtype))
 
     if kernel_bwd and _rowmajor_split_ok(h, w, cin, cout, md):
         # Split backward for the wide (W=128) sites, all on Pallas:
@@ -1375,9 +1903,7 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
             x, offset, mask, weight, ct, max_dy=md
         )
         dx = _dcn_rowmajor_dx_impl(offset, mask, weight, ct, max_dy=md)
-        return (dx.astype(x.dtype), doff, dmask, dweight,
-                None if bias is None else dbias.astype(
-                    jnp.asarray(bias).dtype))
+        return (dx.astype(x.dtype), doff, dmask, dweight, dbias)
 
     def xla_fwd(x, offset, mask, weight, bias):
         return _xla_fwd_clamped(x, offset, mask, weight, bias,
@@ -1386,6 +1912,19 @@ def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
 
     primal, vjp = jax.vjp(xla_fwd, x, offset, mask, weight, bias)
     return vjp(ct.astype(primal.dtype))
+
+
+def _bwd(stride, padding, dilation, g, kernel_bwd, max_dy, res, ct):
+    x, offset, mask, weight, bias = res
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    md = resolve_max_dy(h, w, cin, cout, max_dy)
+    dx, doff, dmask, dweight, dbias = _bwd_core(
+        x, offset, mask, weight, bias, ct, md, kernel_bwd,
+        stride, padding, dilation, g)
+    return (dx, doff, dmask, dweight,
+            None if bias is None else jnp.asarray(dbias).astype(
+                jnp.asarray(bias).dtype))
 
 
 def _xla_fwd_clamped(x, offset, mask, weight, bias, *, stride, padding,

@@ -451,3 +451,102 @@ def load_params_npz(init_variables: Dict[str, Any], path: str) -> Dict[str, Any]
             leaves.append(arr)
         out[group] = jax.tree_util.tree_unflatten(treedef, leaves)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full pose-net (DLA-34) key maps: route an upstream-named
+# ``pose_dla_dcn.DLASeg`` state dict into the flax tree.  Upstream naming per
+# SURVEY.md §2 #8 (mount empty, so names follow the documented structure):
+#   base.base_layer.{0,1}           conv+bn Sequential
+#   base.levelK[.tree1/.tree2/.root/.project]   Tree recursion,
+#       BasicBlock conv1/bn1/conv2/bn2, Root conv/bn, project.{0,1}
+#   dla_up.ida_I.{proj,node}_K.conv{.weight,.bias,
+#       .conv_offset_mask.{weight,bias}}  + .actf.0 (BN)   DCN DeformConv
+#   ida_up.{proj,node}_K...             final IDAUp
+#   {head}.{0,2}                        Sequential(conv3x3, relu, conv1x1)
+# The frozen bilinear up_K ConvTranspose weights have no flax parameter
+# (constant math) — the importer reports them dropped, by design.
+# ---------------------------------------------------------------------------
+def _dla34_torch_name(parts) -> Optional[str]:
+    """Translate one flax path (list of segments incl. leaf) to the upstream
+    torch parameter name; None when untranslatable."""
+    leaf = parts[-1]
+    segs = parts[:-1]
+    conv_leaf = {"kernel": "weight", "bias": "bias"}
+    bn_leaf = {"scale": "weight", "bias": "bias",
+               "mean": "running_mean", "var": "running_var"}
+    out: list = []
+    i = 0
+    while i < len(segs):
+        s = segs[i]
+        if s.startswith("HeadStack"):
+            i += 1  # flax container with no upstream counterpart
+        elif s in ("base", "dla_up", "ida_up") or s.startswith(("level",
+                                                                "tree",
+                                                                "ida_",
+                                                                "proj_",
+                                                                "node_")):
+            out.append(s)
+            i += 1
+        elif s == "base_layer":
+            # Sequential(conv, bn)
+            nxt = segs[i + 1]
+            if nxt == "Conv_0":
+                return ".".join(out + [s, "0", conv_leaf[leaf]])
+            return ".".join(out + [s, "1", bn_leaf[leaf]])
+        elif s == "root":
+            nxt = segs[i + 2]  # root/ConvBN_0/{Conv_0,BatchNorm_0}
+            if nxt == "Conv_0":
+                return ".".join(out + ["root", "conv", conv_leaf[leaf]])
+            return ".".join(out + ["root", "bn", bn_leaf[leaf]])
+        elif s == "project":
+            nxt = segs[i + 1]
+            if nxt == "Conv_0":
+                return ".".join(out + ["project", "0", conv_leaf[leaf]])
+            return ".".join(out + ["project", "1", bn_leaf[leaf]])
+        elif s.startswith("ConvBN_"):
+            # inside a DlaBasicBlock (conv1/bn1, conv2/bn2) — or the plain
+            # level0/level1 stacks, which the caller routes via base_layer
+            # rule (they are ConvBN directly under 'levelK' names)
+            n = int(s.split("_")[1]) + 1
+            nxt = segs[i + 1]
+            if nxt == "Conv_0":
+                return ".".join(out + [f"conv{n}", conv_leaf[leaf]])
+            return ".".join(out + [f"bn{n}", bn_leaf[leaf]])
+        elif s == "Conv_0":
+            # ConvBN directly named by its parent (level0/level1):
+            # Sequential(conv, bn) style
+            return ".".join(out + ["0", conv_leaf[leaf]])
+        elif s == "BatchNorm_0" and segs[i - 1].startswith(("level",)):
+            return ".".join(out + ["1", bn_leaf[leaf]])
+        elif s == "DCN_0":
+            if i + 1 < len(segs) and segs[i + 1] == "conv_offset_mask":
+                return ".".join(out + ["conv", "conv_offset_mask",
+                                       conv_leaf[leaf]])
+            return ".".join(out + ["conv", conv_leaf[leaf]])
+        elif s == "BatchNorm_0":
+            # DeformConv's BN -> actf.0
+            return ".".join(out + ["actf", "0", bn_leaf[leaf]])
+        elif s.endswith("_conv"):
+            return ".".join([s[:-5], "0", conv_leaf[leaf]])
+        elif s.endswith("_out"):
+            return ".".join([s[:-4], "2", conv_leaf[leaf]])
+        else:
+            return None
+    return None
+
+
+def dla34_pose_key_maps(params: Any, batch_stats: Any):
+    """(params_map, stats_map) {upstream_torch_name: flax_path} for a DLASeg
+    tree — generated by walking the live flax tree, so it covers every
+    parameter (asserted in tests) for ``import_numpy_state_dict``."""
+    def build(tree):
+        m = {}
+        for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            parts = [q.key for q in p]
+            name = _dla34_torch_name(parts)
+            if name is not None:
+                m[name] = "/".join(parts)
+        return m
+
+    return build(params), build(batch_stats)

@@ -565,3 +565,187 @@ def test_rowmajor_br16_fwd_and_split_backward_interpret():
             assert rel < 2e-2, f"br16 {name} rel err {rel}"
     finally:
         dp._INTERPRET[0] = False
+
+
+# ---------------------------------------------------------------------------
+# dcn_v2_pallas_fused: offset/mask conv folded into the kernel (r5)
+# ---------------------------------------------------------------------------
+
+
+def _fused_ref(x, omw, omb, wgt, bias, md):
+    """Reference chain for the fused op: explicit XLA offset/mask conv ->
+    y-clamped dcn_v2 (what the DCN module computed before the fold)."""
+    om = lax.conv_general_dilated(
+        x, omw, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + omb
+    off = om[..., :18]
+    mask = jax.nn.sigmoid(om[..., 18:])
+    offc = off.reshape(*off.shape[:-1], 9, 2)
+    offc = jnp.stack(
+        [jnp.clip(offc[..., 0], -md, md), offc[..., 1]], -1
+    ).reshape(off.shape)
+    return dcn_v2(x, offc, mask, wgt, bias)
+
+
+def _fused_case(seed, h, w, cin, cout, om_scale=0.3):
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.normal(size=(2, h, w, cin)).astype(np.float32))
+    omw = jnp.asarray((r.normal(size=(3, 3, cin, 27)) * om_scale)
+                      .astype(np.float32))
+    omb = jnp.asarray((r.normal(size=(27,)) * 1.0).astype(np.float32))
+    wgt = jnp.asarray((r.normal(size=(3, 3, cin, cout)) / np.sqrt(9 * cin))
+                      .astype(np.float32))
+    bias = jnp.asarray(r.normal(size=(cout,)).astype(np.float32))
+    return x, omw, omb, wgt, bias
+
+
+def test_fused_om_rowmajor_and_chsec_interpret():
+    """Fused-om forward (row-major W=128) matches the explicit conv->DCN
+    chain; channel-second in/out is a pure relayout of the same values."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        h, w, cin, cout = 16, 128, 8, 8
+        x, omw, omb, wgt, bias = _fused_case(200, h, w, cin, cout)
+        md = dp.resolve_max_dy(h, w, cin, cout)
+        assert dp.fused_om_supported(h, w, cin, cout)
+        ref = np.asarray(_fused_ref(x, omw, omb, wgt, bias, md))
+        out = np.asarray(dp.dcn_v2_pallas_fused(x, omw, omb, wgt, bias))
+        rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+        # bf16 om projection shifts bilinear corners at knife edges
+        assert rel < 2e-2, f"fused fwd rel err {rel}"
+
+        xc = jnp.transpose(x, (0, 1, 3, 2))
+        outc = np.asarray(dp.dcn_v2_pallas_fused(
+            xc, omw, omb, wgt, bias, 1, 1, 1, 1, False, 0, True, True))
+        np.testing.assert_allclose(
+            outc, np.transpose(out, (0, 1, 3, 2)), rtol=0, atol=0)
+    finally:
+        dp._INTERPRET[0] = False
+
+
+def _fused_ref_st(x, omw, omb, wgt, bias, md, om_kernel):
+    """Reference chain linearized AT THE KERNEL'S om values: the fused VJP
+    saves the kernel's (bf16-projected) om as its residual and linearizes
+    there, so the straight-through substitution om + sg(om_kernel - om)
+    makes the comparison exact instead of knife-edge-flipping wherever
+    bf16 rounding moves a sample across a grid line."""
+    om = lax.conv_general_dilated(
+        x, omw, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + omb
+    om = om + jax.lax.stop_gradient(om_kernel - om)
+    off = om[..., :18]
+    mask = jax.nn.sigmoid(om[..., 18:])
+    offc = off.reshape(*off.shape[:-1], 9, 2)
+    offc = jnp.stack(
+        [jnp.clip(offc[..., 0], -md, md), offc[..., 1]], -1
+    ).reshape(off.shape)
+    return dcn_v2(x, offc, mask, wgt, bias)
+
+
+def test_fused_om_vjp_matches_reference_chain():
+    """Fused VJP (saved-om residual + _bwd_core + linear_transpose conv
+    chain) == autodiff of the reference chain linearized at the same om."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        h, w, cin, cout = 16, 128, 8, 8
+        x, omw, omb, wgt, bias = _fused_case(201, h, w, cin, cout,
+                                             om_scale=0.2)
+        x = x[:1]
+        md = dp.resolve_max_dy(h, w, cin, cout)
+        ct = rand((1, h, w, cout), 202)
+        _, om_kernel = dp._dcn_pallas_fwd_fom_impl(
+            x, omw, omb, wgt, bias, md, emit_om=True)
+        _, vjp_f = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas_fused(*a, 1, 1, 1, 1, False, 0),
+            x, omw, omb, wgt, bias)
+        _, vjp_r = jax.vjp(
+            lambda *a: _fused_ref_st(*a, md, om_kernel), x, omw, omb, wgt,
+            bias)
+        for name, a, b_ in zip(("dx", "domw", "domb", "dW", "db"),
+                               vjp_f(ct), vjp_r(ct)):
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 1e-5, f"fused {name} rel err {rel}"
+    finally:
+        dp._INTERPRET[0] = False
+
+
+@pytest.mark.slow
+def test_fused_om_grouped_shapes_interpret():
+    """Fused-om forward across the grouped widths (16/32/64) incl. the
+    cross-row lane-roll wrap of the in-kernel offset conv."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        for seed, (h, w, cin, cout) in enumerate(
+            [(32, 16, 8, 8), (16, 32, 8, 8), (32, 64, 8, 8)]
+        ):
+            x, omw, omb, wgt, bias = _fused_case(210 + seed, h, w, cin, cout)
+            md = dp.resolve_max_dy(h, w, cin, cout)
+            assert dp.fused_om_supported(h, w, cin, cout), (h, w)
+            ref = np.asarray(_fused_ref(x, omw, omb, wgt, bias, md))
+            out = np.asarray(dp.dcn_v2_pallas_fused(x, omw, omb, wgt, bias))
+            rel = np.abs(ref - out).max() / max(np.abs(ref).max(), 1e-6)
+            assert rel < 2e-2, f"fused grouped rel {rel} at {(h, w)}"
+
+            xc = jnp.transpose(x, (0, 1, 3, 2))
+            outc = np.asarray(dp.dcn_v2_pallas_fused(
+                xc, omw, omb, wgt, bias, 1, 1, 1, 1, False, 0, True, True))
+            np.testing.assert_allclose(
+                outc, np.transpose(out, (0, 1, 3, 2)), rtol=0, atol=0)
+    finally:
+        dp._INTERPRET[0] = False
+
+
+@pytest.mark.slow
+def test_fused_om_vjp_kernel_bwd_chsec_interpret():
+    """kernel_bwd=True fused VJP (grouped fused backward under the om
+    chain) and chsec cotangent routing."""
+    import centerpose_tpu.ops.dcn_pallas as dp
+
+    dp._INTERPRET[0] = True
+    try:
+        h, w, cin, cout = 32, 16, 8, 8
+        x, omw, omb, wgt, bias = _fused_case(220, h, w, cin, cout,
+                                             om_scale=0.2)
+        x = x[:1]
+        md = dp.resolve_max_dy(h, w, cin, cout)
+        ct = rand((1, h, w, cout), 221)
+        _, om_kernel = dp._dcn_pallas_grouped_fom_impl(
+            x, omw, omb, wgt, bias, md, emit_om=True)
+        _, vjp_f = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas_fused(*a, 1, 1, 1, 1, True, 0),
+            x, omw, omb, wgt, bias)
+        _, vjp_r = jax.vjp(
+            lambda *a: _fused_ref_st(*a, md, om_kernel), x, omw, omb, wgt,
+            bias)
+        grads_f = vjp_f(ct)
+        for name, a, b_ in zip(("dx", "domw", "domb", "dW", "db"),
+                               grads_f, vjp_r(ct)):
+            a = np.asarray(a)
+            b_ = np.asarray(b_)
+            rel = np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+            assert rel < 2e-2, f"fused kbwd {name} rel err {rel}"
+
+        # chsec: same gradients through the layout round-trip
+        xc = jnp.transpose(x, (0, 1, 3, 2))
+        _, vjp_c = jax.vjp(
+            lambda *a: dp.dcn_v2_pallas_fused(*a, 1, 1, 1, 1, True, 0,
+                                              True, True),
+            xc, omw, omb, wgt, bias)
+        gc = vjp_c(jnp.transpose(ct, (0, 1, 3, 2)))
+        np.testing.assert_allclose(
+            np.asarray(gc[0]),
+            np.transpose(np.asarray(grads_f[0]), (0, 1, 3, 2)),
+            rtol=1e-5, atol=1e-5)
+        for a, b_ in zip(gc[1:], grads_f[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        dp._INTERPRET[0] = False

@@ -92,3 +92,24 @@ def test_run_batch_matches_single():
     for i in range(3):
         single = det.run_batch(frames[i : i + 1])
         np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
+
+
+def test_bucketed_keepres_multiscale_matches_serial():
+    """keep_res multi-scale: shapes differ per (image, scale), so the
+    harness batches same-shape slots ACROSS images (shape buckets) instead
+    of dispatching batch-1 per scale (r4 weak #4).  Results must match the
+    serial loop (allclose: batched convs reassociate reductions at 1e-6)."""
+    cfg = load_config(opts=[
+        "model.name", "res_18", "model.input_res", "256",
+        "model.output_res", "64", "test.topk", "20",
+        "test.keep_res", "true",
+        "test.test_scales", "0.5,1.0",
+    ])
+    det = Detector(cfg)
+    items = _items(5, seed=6)
+    serial, _, _ = evaluate_detector(det, items, workers=0)
+    piped, _, _ = evaluate_detector(det, items, workers=2, inflight=2)
+    assert set(serial) == set(piped)
+    for img_id in serial:
+        np.testing.assert_allclose(serial[img_id][1], piped[img_id][1],
+                                   rtol=1e-4, atol=1e-4)

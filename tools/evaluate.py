@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--hard", action="store_true",
+                   help="hard synthetic distribution (non-saturating)")
     p.add_argument("--limit", type=int, default=0, help="evaluate first N images")
     p.add_argument("--workers", type=int, default=4,
                    help="pre-process threads (0 = serial detector.run loop)")
@@ -70,7 +72,8 @@ def main():
     if args.synthetic:
         from centerpose_tpu.data.synthetic import SyntheticEvalDataset
 
-        dataset = SyntheticEvalDataset(args.synthetic_size, seed=2)
+        dataset = SyntheticEvalDataset(args.synthetic_size, seed=2,
+                                       hard=args.hard)
 
         def items():
             for i, img in dataset.items():

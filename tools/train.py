@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (no COCO required)")
     p.add_argument("--synthetic-size", type=int, default=256)
+    p.add_argument("--hard", action="store_true",
+                   help="hard synthetic distribution (crowding/occlusion/"
+                        "small persons; the non-saturating benchmark)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() before device use")
     p.add_argument("--max-steps", type=int, default=0,
@@ -84,9 +87,13 @@ def main():
             SyntheticPoseDataset,
         )
 
-        train_ds = SyntheticPoseDataset(args.synthetic_size, seed=1)
-        val_ds = SyntheticPoseDataset(max(32, args.synthetic_size // 8), seed=2)
-        ap_dataset = SyntheticEvalDataset(max(32, args.synthetic_size // 8), seed=2)
+        # --hard: the non-saturating benchmark distribution (crowded /
+        # occluded / small persons; data/synthetic.render_scene_hard)
+        train_ds = SyntheticPoseDataset(args.synthetic_size, seed=1,
+                                        hard=args.hard)
+        val_n = max(32, args.synthetic_size // 8)
+        val_ds = SyntheticPoseDataset(val_n, seed=2, hard=args.hard)
+        ap_dataset = SyntheticEvalDataset(val_n, seed=2, hard=args.hard)
 
         def ap_items():
             return ap_dataset.items()
@@ -170,7 +177,14 @@ def main():
         meters = {}
         t0 = time.time()
         n_seen = 0
-        for batch in prefetch_to_device(train_loader.epoch(epoch), mesh):
+        data_wait = 0.0  # host-starvation time: blocked on the prefetch
+        batch_iter = prefetch_to_device(train_loader.epoch(epoch), mesh)
+        while True:
+            t_w = time.time()
+            batch = next(batch_iter, None)
+            data_wait += time.time() - t_w
+            if batch is None:
+                break
             tick(total_steps)
             state, stats = train_step(state, batch)
             total_steps += 1
@@ -184,6 +198,10 @@ def main():
         dt = time.time() - t0
         epoch_stats = {k: m.avg for k, m in meters.items()}
         epoch_stats["img_per_s"] = n_seen / max(dt, 1e-9)
+        # the reference trainer's data-time / batch-time split
+        # (SURVEY.md §2 #21): time blocked on the input pipeline vs total
+        epoch_stats["data_wait_s"] = round(data_wait, 2)
+        epoch_stats["data_wait_frac"] = round(data_wait / max(dt, 1e-9), 3)
         logger.log_stats("train", epoch, total_steps, epoch_stats)
 
         if jax.process_index() == 0:

@@ -32,7 +32,7 @@ def measure_bandwidth():
     rows = {}
 
     reps = 4
-    for mb in (1, 8, 32):
+    for mb in (1, 8, 32, 128):
         h2ds, d2hs = [], []
         for r in range(reps):
             # fresh buffer each rep (avoid any transfer caching)
@@ -54,6 +54,18 @@ def measure_bandwidth():
             "d2h_MBps_median": round(float(np.median(d2hs)), 1),
             "d2h_MBps_peak": round(max(d2hs), 1),
         }
+
+    # PIPELINED H2D: the eval/video paths upload batch after batch with
+    # device compute in between — queueing 8 x 8MB puts and fencing once
+    # measures that steady-state overlap, which one-shot transfers (fenced
+    # per call) understate.  The honest ceiling for the pipelined paths.
+    bufs = [np.random.default_rng(100 + r).integers(
+        0, 255, size=(8 * 1024 * 1024,), dtype=np.uint8) for r in range(8)]
+    t0 = time.perf_counter()
+    devs = [jax.device_put(a, dev) for a in bufs]
+    s = sum(jnp.sum(d[:: 1024 * 1024].astype(jnp.int32)) for d in devs)
+    np.asarray(s)
+    rows["pipelined_h2d_MBps"] = round(64 / (time.perf_counter() - t0), 1)
     return rows
 
 
@@ -63,10 +75,13 @@ def main():
     args = ap.parse_args()
 
     out = {"bandwidth": measure_bandwidth()}
-    # steady-state rate = the largest-buffer peak (pipelined uploads in the
-    # real eval/video paths overlap better than these one-shot transfers)
-    h2d = out["bandwidth"]["32MB"]["h2d_MBps_peak"]
-    d2h = out["bandwidth"]["32MB"]["d2h_MBps_peak"]
+    # steady-state rate: the pipelined measurement (the eval/video paths
+    # upload batch after batch with compute in between; one-shot fenced
+    # transfers understate that — r4's artifact used the 32MB one-shot
+    # peak and produced a "ceiling" below the measured eval throughput)
+    h2d = max(out["bandwidth"]["pipelined_h2d_MBps"],
+              out["bandwidth"]["128MB"]["h2d_MBps_peak"])
+    d2h = out["bandwidth"]["128MB"]["d2h_MBps_peak"]
 
     # --- graded config #5: batched video stream (512^2 uint8 frames) ---
     frame_bytes = 512 * 512 * 3  # uint8, normalized on device
