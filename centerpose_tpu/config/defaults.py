@@ -117,6 +117,16 @@ class TrainConfig:
     # the reference's best-AP checkpointing (SURVEY.md §3.1).
     val_ap_limit: int = 0
     num_workers: int = 4
+    # Host->device wire format for training batches (SURVEY §3.1 pin_memory
+    # analog, re-thought for TPU hosts).  "float32": ship normalized f32
+    # images + f32 dense targets (reference semantics, byte-heavy).
+    # "compact": ship the warped+color-augmented image as uint8 (normalize
+    # on device, fused into the step — same trick the Detector uses) and
+    # the dense heatmap targets as float16 — ~3x fewer bytes across H2D,
+    # identical training semantics up to 1/255 input quantization (below
+    # the augmentation noise floor).  The step unpacks by dtype
+    # (train/trainer.py unpack_batch), so mixed loaders just work.
+    wire: str = "float32"
     # Gradient accumulation steps (not in reference; cheap in JAX, useful on
     # small hosts — SURVEY.md §2 parallelism table).
     grad_accum: int = 1

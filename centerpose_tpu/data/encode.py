@@ -25,9 +25,11 @@ import numpy as np
 
 from centerpose_tpu.config import Config
 from centerpose_tpu.ops.image import (
+    COLOR_AUG_IDENTITY,
     FLIP_IDX,
     affine_transform_batch,
     color_aug,
+    color_aug_coeffs,
     draw_umich_gaussian,
     gaussian_radius,
     get_affine_transform,
@@ -94,12 +96,24 @@ def encode_example(
 
     trans_input = get_affine_transform(c, s, rot, (in_res, in_res))
     inp = _warp_image(img, trans_input, in_res, in_res)
-    inp = inp.astype(np.float32) / 255.0
-    if is_train and not cfg.dataset.no_color_aug:
-        inp = color_aug(rng, inp)
-    inp = (inp - np.asarray(cfg.dataset.mean, np.float32)) / np.asarray(
-        cfg.dataset.std, np.float32
-    )
+    wire = getattr(cfg.train, "wire", "float32")
+    aug_coeffs = None
+    if wire == "compact":
+        # ship the PRE-aug uint8 warp (bit-exact roundtrip) + the sampled
+        # color-aug coefficients; /255, aug replay and normalization all
+        # happen on device (trainer.unpack_batch), fused into the step.
+        # Same rng stream as the f32 path (color_aug_coeffs docstring).
+        if is_train and not cfg.dataset.no_color_aug:
+            aug_coeffs = color_aug_coeffs(rng)
+        else:
+            aug_coeffs = COLOR_AUG_IDENTITY.copy()
+    else:
+        inp = inp.astype(np.float32) / 255.0
+        if is_train and not cfg.dataset.no_color_aug:
+            inp = color_aug(rng, inp)
+        inp = (inp - np.asarray(cfg.dataset.mean, np.float32)) / np.asarray(
+            cfg.dataset.std, np.float32
+        )
 
     trans_out_rot = get_affine_transform(c, s, rot, (out_res, out_res))
     trans_out = get_affine_transform(c, s, 0.0, (out_res, out_res))
@@ -208,11 +222,19 @@ def encode_example(
         hps_mask *= 0
         hp_mask *= 0
 
+    if wire == "compact":
+        # dense heatmaps ride H2D as f16 (values in [0,1]; <=5e-4 rel error,
+        # cast back to f32 on device before the loss)
+        hm = hm.astype(np.float16)
+        hm_hp = hm_hp.astype(np.float16)
+        dense = {k: v.astype(np.float16) for k, v in dense.items()}
+
     ret = {
-        "input": inp.astype(np.float32),
+        "input": inp,
         "hm": hm,
         "hm_hp": hm_hp,
         "wh": wh,
+        **({"aug": aug_coeffs} if aug_coeffs is not None else {}),
         "hps": hps,
         "reg": reg,
         "ind": ind,

@@ -88,13 +88,16 @@ def evaluate_detector(
         times["merge"] += t3 - t2
         times["tot"] += t3 - t_disp
 
-    # keep_res pads each image to a stride multiple, so shapes vary per
-    # image and the same-shape single-dispatch fast path can't apply.
-    # Instead, (image, scale) slots accumulate into SHAPE BUCKETS across
-    # images and dispatch as one batched device call per bucket — mixed-
-    # shape multi-scale eval stops paying batch-1 dispatches (r4 weak #4).
-    bucketed = bool(getattr(detector.cfg.test, "keep_res", False))
-    bucket_cap = 4
+    # (image, scale) slots accumulate into SHAPE BUCKETS across images and
+    # dispatch as one batched device call per bucket, so eval never pays
+    # batch-1 dispatches (r4 weak #4).  Originally for keep_res (per-image
+    # pad-to-stride shapes), but equally load-bearing for single-scale
+    # fix_res: every image shares one shape, so images ride the device in
+    # batches of ``bucket_cap`` — on the tunneled backend the per-dispatch
+    # floor dominates batch-1 eval.  Multi-scale fix_res keeps its own
+    # all-scales-in-one-call branch below.
+    bucketed = True
+    bucket_cap = 8
 
     n_done = 0
     with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -121,6 +124,14 @@ def evaluate_detector(
                 if not entries:
                     continue
                 imgs = np.concatenate([e[2] for e in entries], 0)
+                # pad partial buckets up to the cap so every flush of this
+                # shape reuses ONE compiled batch shape (a trailing partial
+                # bucket must not trigger a fresh 20-40s XLA compile)
+                n_real = imgs.shape[0]
+                if n_real < bucket_cap:
+                    pad = np.zeros((bucket_cap - n_real,) + imgs.shape[1:],
+                                   imgs.dtype)
+                    imgs = np.concatenate([imgs, pad], 0)
                 dets_all = detector._process_fn(detector.variables,
                                                 jnp.asarray(imgs))
                 ofs = 0

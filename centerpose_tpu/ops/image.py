@@ -267,6 +267,40 @@ def color_aug(rng: np.random.Generator, image: np.ndarray) -> np.ndarray:
     return image
 
 
+def color_aug_coeffs(rng: np.random.Generator) -> np.ndarray:
+    """Sample ``color_aug`` as 6 affine coefficients for device-side replay.
+
+    Because ``gs``/``gs_mean`` are computed ONCE from the pre-aug image, the
+    shuffled brightness/contrast/saturation chain composes into
+    ``img' = A*img + c_gs*gs[..,None] + c_mean*gs_mean + pca`` — so the
+    compact wire (train.wire) ships the un-augmented uint8 warp plus these
+    [A, c_gs, c_mean, pca_r, pca_g, pca_b] floats and the jitted step
+    replays the EXACT host augmentation (same rng stream: shuffle, then one
+    uniform per op in execution order, then the PCA normal — matching
+    ``color_aug`` draw for draw)."""
+    order = [0, 1, 2]  # brightness, contrast, saturation
+    rng.shuffle(order)
+    a_tot, c_gs, c_mean = 1.0, 0.0, 0.0
+    for op in order:
+        a = 1.0 + rng.uniform(-0.4, 0.4)
+        a_tot *= a
+        c_gs *= a
+        c_mean *= a
+        if op == 1:
+            c_mean += 1.0 - a
+        elif op == 2:
+            c_gs += 1.0 - a
+    alpha = rng.normal(scale=0.1, size=(3,)).astype(np.float32)
+    pca = _EIG_VEC @ (_EIG_VAL * alpha)
+    return np.concatenate(
+        [np.array([a_tot, c_gs, c_mean], np.float32), pca.astype(np.float32)]
+    )
+
+
+# identity color aug (A=1, no gs/mean/PCA terms) for non-augmented samples
+COLOR_AUG_IDENTITY = np.array([1, 0, 0, 0, 0, 0], np.float32)
+
+
 # ---------------------------------------------------------------------------
 # COCO 17-keypoint constants
 # ---------------------------------------------------------------------------

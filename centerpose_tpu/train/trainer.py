@@ -102,12 +102,48 @@ def create_train_state(
     return state
 
 
+def unpack_batch(batch: Dict[str, jnp.ndarray], cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Device-side decode of the compact H2D wire format (train.wire).
+
+    Dtype-driven so mixed loaders just work under one compiled step per
+    wire format: a uint8 ``input`` is normalized here (fused into the step,
+    the same device-side normalization the Detector uses), and float16
+    dense targets are cast back to f32 before the loss.  No-op on the
+    reference-style float32 wire."""
+    b = dict(batch)
+    x = b["input"]
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+        aug = b.pop("aug", None)
+        if aug is not None:
+            # replay the host-sampled color aug (ops/image.color_aug_coeffs):
+            # x' = A*x + c_gs*gs + c_mean*gs_mean + pca, with gs/gs_mean from
+            # the PRE-aug image exactly as the host f32 path computes them
+            gs = x @ jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+            gs_mean = gs.mean(axis=(1, 2))
+            a_tot, c_gs, c_mean = aug[:, 0], aug[:, 1], aug[:, 2]
+            x = (
+                a_tot[:, None, None, None] * x
+                + c_gs[:, None, None, None] * gs[..., None]
+                + c_mean[:, None, None, None] * gs_mean[:, None, None, None]
+                + aug[:, None, None, 3:6]
+            )
+        mean = jnp.asarray(cfg.dataset.mean, jnp.float32)
+        std = jnp.asarray(cfg.dataset.std, jnp.float32)
+        b["input"] = (x - mean) / std
+    for k, v in b.items():
+        if k != "input" and v.dtype == jnp.float16:
+            b[k] = v.astype(jnp.float32)
+    return b
+
+
 def make_train_step(
     model, cfg: Config, mesh=None, donate: bool = True
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted SPMD train step: (state, sharded batch) -> (state, stats)."""
 
     def loss_fn(params, batch_stats, batch):
+        batch = unpack_batch(batch, cfg)
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, mutated = model.apply(
             variables, batch["input"], train=True, mutable=["batch_stats"]
@@ -134,6 +170,7 @@ def make_eval_step(model, cfg: Config, mesh=None):
     """Jitted eval-mode loss (running BN stats, no update)."""
 
     def step_fn(state: TrainState, batch):
+        batch = unpack_batch(batch, cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, batch["input"], train=False)
         _, stats = multi_pose_loss(outputs, batch, cfg)

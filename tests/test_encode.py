@@ -97,3 +97,92 @@ def test_stack_batch():
     batch = stack_batch(ex)
     assert batch["input"].shape == (3, 128, 128, 3)
     assert batch["hm"].shape == (3, 32, 32, 1)
+
+
+# ---------------------------------------------------------------------------
+# Compact H2D wire format (train.wire = "compact"): uint8 pre-aug warp +
+# device-replayed color aug + f16 dense targets (trainer.unpack_batch).
+# ---------------------------------------------------------------------------
+
+
+def compact_cfg():
+    return update_config(
+        default_config(),
+        {"model": {"input_res": 128, "output_res": 32},
+         "train": {"wire": "compact"}},
+    )
+
+
+def _rand_scene(seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    ann = person_ann(100, 80, 60, 120, [(130, 100), (125, 95), (135, 95)])
+    return img, [ann]
+
+
+def test_compact_wire_dtypes_and_sizes():
+    img, anns = _rand_scene(0)
+    out = encode_example(img, anns, compact_cfg(), np.random.default_rng(0),
+                         is_train=True)
+    assert out["input"].dtype == np.uint8
+    assert out["hm"].dtype == np.float16
+    assert out["hm_hp"].dtype == np.float16
+    assert out["aug"].shape == (6,)
+    ref = encode_example(img, anns, small_cfg(), np.random.default_rng(0),
+                         is_train=True)
+    nb = lambda d: sum(v.nbytes for v in d.values())
+    assert nb(out) < nb(ref) / 2.5  # the point of the format
+
+
+def test_compact_wire_aug_coeffs_replay_color_aug():
+    """color_aug_coeffs replays color_aug exactly on the same rng stream."""
+    from centerpose_tpu.ops.image import color_aug, color_aug_coeffs
+
+    img = np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
+    direct = color_aug(np.random.default_rng(3), img.copy())
+    co = color_aug_coeffs(np.random.default_rng(3))
+    gs = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    replay = co[0] * img + co[1] * gs[..., None] + co[2] * gs.mean() + co[3:6]
+    np.testing.assert_allclose(direct, replay, atol=1e-5)
+
+
+def test_compact_wire_unpack_matches_f32_wire():
+    """Device-side unpack of a compact batch == the f32 wire batch (the cv2
+    uint8 warp is the quantization point in BOTH paths, so identical up to
+    f16 target rounding)."""
+    import jax.numpy as jnp
+
+    from centerpose_tpu.train.trainer import unpack_batch
+
+    cfg_c, cfg_f = compact_cfg(), small_cfg()
+    encs_c, encs_f = [], []
+    for i in range(3):
+        img, anns = _rand_scene(i)
+        encs_c.append(encode_example(img, anns, cfg_c,
+                                     np.random.default_rng(i), is_train=True))
+        encs_f.append(encode_example(img, anns, cfg_f,
+                                     np.random.default_rng(i), is_train=True))
+    bc, bf = stack_batch(encs_c), stack_batch(encs_f)
+    u = unpack_batch({k: jnp.asarray(v) for k, v in bc.items()}, cfg_c)
+    assert "aug" not in u
+    np.testing.assert_allclose(np.asarray(u["input"]), bf["input"], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(u["hm_hp"]), bf["hm_hp"], atol=6e-4)
+    np.testing.assert_allclose(np.asarray(u["hm"]), bf["hm"], atol=6e-4)
+    for k in ("wh", "hps", "reg", "ind", "reg_mask"):
+        np.testing.assert_array_equal(np.asarray(u[k]), bf[k])
+
+
+def test_compact_wire_eval_identity_aug():
+    """is_train=False compact batches carry identity aug and decode exactly."""
+    import jax.numpy as jnp
+
+    from centerpose_tpu.train.trainer import unpack_batch
+
+    img, anns = _rand_scene(5)
+    ec = encode_example(img, anns, compact_cfg(), is_train=False)
+    ef = encode_example(img, anns, small_cfg(), is_train=False)
+    np.testing.assert_array_equal(ec["aug"], [1, 0, 0, 0, 0, 0])
+    u = unpack_batch({k: jnp.asarray(v)[None] for k, v in ec.items()},
+                     compact_cfg())
+    np.testing.assert_allclose(np.asarray(u["input"][0]), ef["input"],
+                               atol=1e-6)

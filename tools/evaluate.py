@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--limit", type=int, default=0, help="evaluate first N images")
     p.add_argument("--workers", type=int, default=4,
                    help="pre-process threads (0 = serial detector.run loop)")
+    p.add_argument("--json", type=str, default="",
+                   help="also dump {stats, timing} to this path")
     p.add_argument("opts", nargs="*")
     return p.parse_args()
 
@@ -51,14 +53,23 @@ def load_detector(cfg):
 
     variables = None
     if cfg.test.model_path:
-        warn_impl_mismatch(cfg, cfg.test.model_path)
         model = create_model(cfg)
         variables = init_model(model, jax.random.PRNGKey(0), cfg.model.input_res)
-        payload = load_checkpoint(cfg.test.model_path)
-        variables = {
-            "params": restore_params_filtered(variables["params"], payload["params"]),
-            "batch_stats": payload.get("batch_stats", variables.get("batch_stats")),
-        }
+        if cfg.test.model_path.endswith(".npz"):
+            # committed float16 weight snapshot (fresh-clone reproducibility;
+            # the orbax checkpoint dirs themselves are untracked)
+            from centerpose_tpu.train.checkpoints import load_params_npz
+
+            variables = load_params_npz(variables, cfg.test.model_path)
+        else:
+            warn_impl_mismatch(cfg, cfg.test.model_path)
+            payload = load_checkpoint(cfg.test.model_path)
+            variables = {
+                "params": restore_params_filtered(
+                    variables["params"], payload["params"]),
+                "batch_stats": payload.get(
+                    "batch_stats", variables.get("batch_stats")),
+            }
     return Detector(cfg, variables)
 
 
@@ -115,6 +126,22 @@ def main():
     print("\nCOCO-protocol AP:")
     for k, v in stats.items():
         print(f"  {k:10s} {v:.4f}")
+
+    if args.json:
+        import json
+
+        payload = {
+            "stats": {k: round(float(v), 4) for k, v in stats.items()},
+            "n_images": n,
+            "wall_s": round(wall, 1),
+            "img_per_s": round(n / wall, 2),
+            "ms_per_img": {k: round(1000 * times[k] / n, 1) for k in times},
+            "hard": bool(args.hard),
+            "model_path": cfg.test.model_path,
+        }
+        os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
