@@ -72,11 +72,34 @@ class DataLoader:
 
     def _ensure_pool(self):
         if self.num_workers > 0 and self._pool is None:
-            self._pool = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                initializer=_init_worker,
-                initargs=(self.dataset, self.cfg),
-            )
+            import multiprocessing
+            import os
+
+            # spawn, not fork: the parent is JAX-multithreaded by the time
+            # the pool starts (device backend + prefetch threads), and
+            # fork()ing a threaded process can deadlock a worker mid-epoch
+            # (observed: a pool wedged after ~17 epochs).  Workers rebuild
+            # state via _init_worker, so spawn only costs pool startup.
+            # Encode workers are numpy/cv2-only: pin any jax that gets
+            # imported at worker startup to the CPU backend so N workers
+            # don't open N accelerator client connections.
+            prev = os.environ.get("JAX_PLATFORMS")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            try:
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_init_worker,
+                    initargs=(self.dataset, self.cfg),
+                )
+                # eagerly start workers while the env override is active
+                # (spawn defers process creation to first submit otherwise)
+                list(self._pool.map(int, range(self.num_workers)))
+            finally:
+                if prev is None:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                else:
+                    os.environ["JAX_PLATFORMS"] = prev
         return self._pool
 
     def steps_per_epoch(self) -> int:

@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--synthetic-seed", type=int, default=2,
+                   help="scene seed (train CLI uses 1 for train / 2 for the "
+                        "AP-gating val split; use a fresh seed, e.g. 3, for "
+                        "a benchmark no selection decision ever saw)")
     p.add_argument("--hard", action="store_true",
                    help="hard synthetic distribution (non-saturating)")
     p.add_argument("--limit", type=int, default=0, help="evaluate first N images")
@@ -83,7 +87,8 @@ def main():
     if args.synthetic:
         from centerpose_tpu.data.synthetic import SyntheticEvalDataset
 
-        dataset = SyntheticEvalDataset(args.synthetic_size, seed=2,
+        dataset = SyntheticEvalDataset(args.synthetic_size,
+                                       seed=args.synthetic_seed,
                                        hard=args.hard)
 
         def items():

@@ -57,6 +57,7 @@ def run_eval(cfg_yaml, ckpt, n, extra_opts, workers=4, timeout=3600):
         out_json = tf.name
     cmd = [sys.executable, os.path.join(REPO, "tools", "evaluate.py"),
            "--synthetic", "--hard", "--synthetic-size", str(n),
+           "--synthetic-seed", "3",  # pure held-out: train=1, AP-gate val=2
            "--workers", str(workers), "--json", out_json]
     if cfg_yaml:
         cmd += ["--cfg", cfg_yaml]
@@ -92,9 +93,10 @@ def main():
         "eval_set": {
             "generator": "data/synthetic.render_scene_hard",
             "n_images": args.n,
-            "seed": 2,
-            "note": ("held out from training (seed=1); crowding 3-10 "
-                     "persons, log-uniform scale to ~6% img height, "
+            "seed": 3,
+            "note": ("pure held-out: train scenes use seed=1, the AP-gating "
+                     "val split seed=2, this benchmark seed=3; crowding "
+                     "3-10 persons, log-uniform scale to ~6% img height, "
                      "occluders flip covered joints to vis=1"),
         },
     }
