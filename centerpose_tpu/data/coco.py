@@ -120,11 +120,20 @@ class COCOHP:
         return dets
 
     def run_eval(
-        self, results: Dict[int, Dict[int, np.ndarray]], save_dir: Optional[str] = None
+        self,
+        results: Dict[int, Dict[int, np.ndarray]],
+        save_dir: Optional[str] = None,
+        img_ids=None,
     ) -> Dict[str, float]:
         """Keypoint OKS AP summary, plus the reference's second bbox COCOeval
         pass (reference run_eval evaluates both; SURVEY.md §2 #4) reported
-        under ``bbox_*`` keys."""
+        under ``bbox_*`` keys.
+
+        ``img_ids``: optional subset of image ids to score.  Required when
+        ``results`` deliberately covers only part of the split (the
+        in-training val_ap_limit gate): scoring partial detections against
+        the FULL split's gt counts every unevaluated image as all-misses and
+        deflates AP by ~limit/len(split)."""
         from centerpose_tpu.eval.coco_eval import evaluate_bboxes, evaluate_keypoints
 
         dets = self.convert_eval_format(results)
@@ -133,6 +142,9 @@ class COCOHP:
             with open(os.path.join(save_dir, "results.json"), "w") as f:
                 json.dump(dets, f)
         gts = self.gt_annotations()
+        if img_ids is not None:
+            ids = set(int(i) for i in img_ids)
+            gts = [g for g in gts if int(g["image_id"]) in ids]
         stats = evaluate_keypoints(gts, dets)
         bbox_stats = evaluate_bboxes(gts, dets)
         stats.update({f"bbox_{k}": v for k, v in bbox_stats.items()})

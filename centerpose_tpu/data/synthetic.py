@@ -260,7 +260,7 @@ class SyntheticEvalDataset:
 
         return COCOHP.convert_eval_format(self, results)
 
-    def run_eval(self, results, save_dir=None) -> Dict[str, float]:
+    def run_eval(self, results, save_dir=None, img_ids=None) -> Dict[str, float]:
         import json
         import os
 
@@ -271,7 +271,13 @@ class SyntheticEvalDataset:
             os.makedirs(save_dir, exist_ok=True)
             with open(os.path.join(save_dir, "results.json"), "w") as f:
                 json.dump(dets, f)
-        return evaluate_keypoints(self.gt_annotations(), dets)
+        gts = self.gt_annotations()
+        if img_ids is not None:
+            # score only the evaluated subset (see COCOHP.run_eval docstring:
+            # partial results vs full-split gt deflates AP by limit/len)
+            ids = set(int(i) for i in img_ids)
+            gts = [g for g in gts if int(g["image_id"]) in ids]
+        return evaluate_keypoints(gts, dets)
 
 
 class SyntheticPoseDataset:

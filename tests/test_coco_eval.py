@@ -129,3 +129,29 @@ def test_jittered_detections_ap_between_0_and_1():
     stats = evaluate_keypoints(gts, dts)
     assert 0.0 < stats["AP"] < 1.0
     assert stats["AP50"] >= stats["AP75"]
+
+
+def test_run_eval_img_ids_subset_not_deflated():
+    """Partial-coverage results + img_ids score as the true AP of that
+    subset; without img_ids the unevaluated images count as all-misses
+    (the in-training val_ap_limit gate bug, round 5)."""
+    import numpy as np
+
+    from centerpose_tpu.data.synthetic import SyntheticEvalDataset
+
+    ds = SyntheticEvalDataset(8, seed=11, hard=False)
+    # perfect detections for the first 4 images only, straight from gt
+    results = {}
+    for i in range(4):
+        _, anns = ds.get_raw(i)
+        rows = []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            kp = np.asarray(a["keypoints"], np.float32).reshape(17, 3)[:, :2]
+            rows.append(np.concatenate(
+                [[x, y, x + w, y + h, 0.9], kp.reshape(-1)]))
+        results[i] = {1: np.asarray(rows, np.float32)}
+    full = ds.run_eval(results)
+    subset = ds.run_eval(results, img_ids=list(results))
+    assert subset["AP"] > 0.99  # perfect dets on the scored subset
+    assert full["AP"] < 0.7  # 4/8 images missing -> deflated

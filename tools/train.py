@@ -163,7 +163,9 @@ def main():
                 yield item
 
         results, _, wall = evaluate_detector(ap_detector, limited(), workers=2)
-        stats = ap_dataset.run_eval(results)
+        # score ONLY the evaluated images: under val_ap_limit the gate AP is
+        # the true AP of that subset, not deflated by the unevaluated rest
+        stats = ap_dataset.run_eval(results, img_ids=list(results.keys()))
         stats["eval_wall_s"] = wall
         return stats
 
