@@ -113,10 +113,13 @@ def bench_encode_only(n: int = 64) -> dict:
     return out
 
 
-def bench_prefetch(n_images: int = 96, batch: int = 8) -> dict:
+def bench_prefetch(n_images: int = 96, batch: int = 8,
+                   wire: str = "float32") -> dict:
     """Sustained loader -> prefetch_to_device -> consume rate with the real
     chip on the other end (tunnel H2D; bytes/batch recorded so the local
-    PCIe projection is derivable)."""
+    PCIe projection is derivable).  ``wire`` selects the H2D batch format —
+    the flagship yaml trains with ``train.wire: compact`` (uint8 frame +
+    fp16 targets), so that row is the one the train e2e number rides on."""
     import jax
 
     from centerpose_tpu.config import load_config
@@ -125,7 +128,7 @@ def bench_prefetch(n_images: int = 96, batch: int = 8) -> dict:
 
     from centerpose_tpu.parallel.mesh import create_mesh
 
-    cfg = load_config(opts=["model.name", "dla_34"])
+    cfg = load_config(opts=["model.name", "dla_34", "train.wire", wire])
     ds = SyntheticPoseDataset(n_images, seed=0)
     dl = DataLoader(ds, cfg, batch_size=batch, is_train=True,
                     num_workers=max(1, (os.cpu_count() or 2) - 1), seed=0)
@@ -172,9 +175,10 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
     res["loader_sweep"] = rows
 
-    res.update(bench_prefetch(args.images))
-    print(json.dumps({k: res[k] for k in
-                      ("prefetch_img_s", "bytes_per_image")}), flush=True)
+    for wire in ("float32", "compact"):
+        r = bench_prefetch(args.images, wire=wire)
+        res[f"prefetch_{wire}"] = r
+        print(json.dumps({"wire": wire, **r}), flush=True)
 
     best = max(r["loader_img_s"] for r in rows)
     best_per_core = best / max(1, min(ncpu, max(

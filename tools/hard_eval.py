@@ -73,6 +73,18 @@ def run_eval(cfg_yaml, ckpt, n, extra_opts, workers=4, timeout=3600):
     return payload
 
 
+def ckpt_path(artifact_dir: str) -> str:
+    """model_best when the (untracked) orbax dir is on disk, else the
+    committed reproducible f16 snapshot next to it."""
+    best = os.path.join(artifact_dir, "model_best")
+    if os.path.isdir(best):
+        return best
+    npz = os.path.join(artifact_dir, "params_f16.npz")
+    if os.path.exists(npz):
+        return npz
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=512,
@@ -111,7 +123,7 @@ def main():
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
 
-    ckpt = os.path.join(args.flagship, "model_best")
+    ckpt = ckpt_path(args.flagship)
     if not args.skip_tta:
         fl = out.setdefault("flagship", {"arch": "dla_34", "ckpt": ckpt})
         modes = fl.setdefault("modes", {})
@@ -146,8 +158,7 @@ def main():
         opts = ["test.flip_test", "false", "test.test_scales", "[1.0]"]
         if not cfg:
             opts += ["model.name", name]
-        bb[name] = run_eval(cfg or None, os.path.join(ckpt_dir, "model_best"),
-                            args.n, opts)
+        bb[name] = run_eval(cfg or None, ckpt_path(ckpt_dir), args.n, opts)
         save()
         print(json.dumps(bb[name]["stats"]), flush=True)
 
